@@ -1,0 +1,428 @@
+"""The Correlator: state machine, orchestration, and the host hot loop.
+
+Behavioral contract reproduced from the reference ``Correlator``
+(``/root/reference/effex/effex.py:23-696``), rebuilt around the TPU runtime:
+
+  * same five states with the same guarded transitions and
+    :class:`StateTransitionError` on illegal edges (``effex.py:204-228``);
+  * same three modes (SPECTRUM / CONTINUUM / TEST) with the same semantics;
+  * calibrate-on-start: the first data block is consumed by CALIBRATE
+    (``effex.py:351-353``), re-triggerable live via the 'c' key
+    (``effex.py:332-336``) — here behind a flag;
+  * property setters with the same validation + hardware pass-through
+    behavior (``effex.py:231-320``);
+  * supervision: child exceptions arrive on an exception queue and force
+    SHUTDOWN (``effex.py:165-173,344-347``); buffer-full warnings
+    (``effex.py:338-342``); graceful end-of-run drain (``effex.py:375-385``).
+
+Differences (deliberate, TPU-first):
+
+  * the per-chunk GPU work is ONE jitted XLA program (see fxtpu.fx) and the
+    device pipeline stays asynchronous — the host loop dispatches block k+1
+    while the TPU crunches block k and the writer thread forces block k-1's
+    transfer;
+  * N channels / arbitrary baselines; per-channel delay vector;
+  * PFB tap history is carried across blocks (streaming-continuous F-stage);
+  * sources are pluggable (synthetic / replay / live-SDR) so no hardware is
+    required anywhere (the reference needs two physical SDRs even for its
+    test suite — SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import threading
+import time
+import traceback
+from queue import Empty, Queue
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fxtpu.config import MODES, STATES, CorrelatorConfig
+from fxtpu.fx import FxEngine
+from fxtpu import products
+from fxtpu.runtime.feeder import BlockAligner, Feeder
+from fxtpu.runtime.ringbuffer import RingBuffer
+from fxtpu.sources import make_source
+from fxtpu.sources.base import Source
+
+LINESEP = "-" * 80
+
+
+class StateTransitionError(Exception):
+    """Illegal state-machine edge (``effex.py:186-193`` parity)."""
+
+    def __init__(self, prev, next):
+        self.prev = prev
+        self.next = next
+        self.message = (f"Transition from {self.prev} to {self.next} "
+                        "is not permitted.")
+
+    def __str__(self):
+        return repr(self.message)
+
+
+#: Legal edges (``effex.py:210-224``): value = allowed next states.
+_ALLOWED = {
+    "OFF": ("STARTUP",),
+    "STARTUP": ("CALIBRATE", "RUN", "SHUTDOWN"),
+    "RUN": ("CALIBRATE", "SHUTDOWN"),
+    "CALIBRATE": ("RUN", "SHUTDOWN"),
+    "SHUTDOWN": ("OFF",),
+}
+
+
+class Correlator:
+    """N-channel streaming FX correlator on TPU.
+
+    Accepts either a :class:`~fxtpu.config.CorrelatorConfig` or the
+    reference's keyword arguments (``effex.py:45-53``)."""
+
+    _states = STATES
+    _modes = MODES
+    StateTransitionError = StateTransitionError  # reference exposes it nested
+
+    def __init__(self, config: Optional[CorrelatorConfig] = None,
+                 source: Optional[Source] = None,
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 **kwargs):
+        if config is None:
+            config = CorrelatorConfig(**kwargs)
+        elif kwargs:
+            import dataclasses
+            config = dataclasses.replace(config, **kwargs)
+        self.config = config
+
+        # --- logging (effex.py:55-72) ----------------------------------
+        level = getattr(logging, config.loglevel)
+        self.logger = logging.getLogger("fxtpu.correlator")
+        self.logger.setLevel(level)
+        if not self.logger.handlers:
+            fmt = logging.Formatter(
+                "{asctime} - {name} - {levelname:<8} - {message}", style="{")
+            fh = logging.FileHandler("log_fxtpu.log")
+            ch = logging.StreamHandler()
+            for h in (fh, ch):
+                h.setFormatter(fmt)
+                self.logger.addHandler(h)
+        for h in self.logger.handlers:
+            h.setLevel(level)
+
+        # --- supervision channel (effex.py:73-74) -----------------------
+        self.exc_queue: Queue = Queue()
+
+        # --- source (replaces the 2 fixed SDRs, effex.py:81-82) ---------
+        self.source = source if source is not None else make_source(config)
+        if self.source.nchan != config.nchan:
+            raise ValueError(
+                f"source has {self.source.nchan} channels, config says "
+                f"{config.nchan}")
+
+        # Validated pass-through properties (effex.py:84-89).
+        self.run_time = config.run_time
+        self.bandwidth = config.bandwidth
+        self.frequency = config.frequency
+        self.num_samp = config.num_samp
+        self.nbins = config.nbins
+        self.gain = config.gain
+
+        # --- state machine (effex.py:94-99) ------------------------------
+        self._state = "OFF"
+        self.mode = config.mode
+        self.start_time = -1.0
+
+        # --- host buffering (effex.py:105-110) ---------------------------
+        self.bufs = [
+            RingBuffer(config.buffer_chunks, (config.num_samp,),
+                       dtype=np.complex64)
+            for _ in range(config.nchan)
+        ]
+        self.aligner = BlockAligner(self.bufs)
+        self.feeder: Optional[Feeder] = None
+
+        # --- compute engine (F+X, device side) ---------------------------
+        self.engine = FxEngine(config, mesh=mesh)
+        self.history = self.engine.fresh_history()
+
+        # --- science data (effex.py:129-141) ------------------------------
+        self.calibrated_delays = np.zeros(config.nchan, dtype=np.float64)
+        self.vis_out: Queue = Queue()
+        self.output_file = config.output_file
+        self.kbd_queue: Queue = Queue(1)
+        self.writer: Optional[products.VisibilityWriter] = None
+        self.blocks_processed = 0
+
+        # --- TEST mode sweep (effex.py:144-155) ---------------------------
+        self.test_delay_sweep_step = config.test_delay_sweep_step
+        self.test_delay_offset = config.test_delay_offset
+
+    # ------------------------------------------------------------------
+    # Properties with validation + source pass-through (effex.py:231-320)
+    # ------------------------------------------------------------------
+    @property
+    def state(self):
+        """The current state in the correlator's internal state machine."""
+        return self._state
+
+    @state.setter
+    def state(self, input_state):
+        self.logger.debug("State transition: %s to %s", self._state,
+                          input_state)
+        if input_state not in self._states:
+            self.close()
+            raise ValueError(
+                f"State {input_state} is not in known states: {self._states}")
+        if input_state not in _ALLOWED[self._state]:
+            self.close()
+            raise StateTransitionError(self._state, input_state)
+        self._state = input_state
+
+    @property
+    def run_time(self):
+        return self._run_time
+
+    @run_time.setter
+    def run_time(self, value):
+        if value < 1:
+            self.close()
+            raise ValueError(f"run time {value} is not allowed; "
+                             "run times must be >= 1 second.")
+        self._run_time = value
+
+    @property
+    def bandwidth(self):
+        return self._bandwidth
+
+    @bandwidth.setter
+    def bandwidth(self, value):
+        ceiling = getattr(self.source, "max_stable_bandwidth", None)
+        if ceiling and value > ceiling:
+            self.logger.warning(
+                "Bandwidth value %s is greater than %s, and the source "
+                "may not be stable.", value, ceiling)
+        self._bandwidth = value
+        self.source.sample_rate = value
+
+    @property
+    def frequency(self):
+        return self._frequency
+
+    @frequency.setter
+    def frequency(self, value):
+        self._frequency = value
+        self.source.center_freq = value
+
+    @property
+    def num_samp(self):
+        return self._num_samp
+
+    @num_samp.setter
+    def num_samp(self, value):
+        from fxtpu.config import MAX_NUM_SAMP, MIN_NUM_SAMP
+        value = int(round(value))
+        if self.config.clamp_num_samp:
+            value = min(max(value, MIN_NUM_SAMP), MAX_NUM_SAMP)
+        self._num_samp = value
+
+    @property
+    def nbins(self):
+        return self._nbins
+
+    @nbins.setter
+    def nbins(self, value):
+        self._nbins = value
+
+    @property
+    def gain(self):
+        return self._gain
+
+    @gain.setter
+    def gain(self, value):
+        self._gain = value
+        self.source.gain = value
+
+    @property
+    def mode(self):
+        return self._mode
+
+    @mode.setter
+    def mode(self, input_mode):
+        input_mode = str(input_mode).upper()
+        if input_mode not in self._modes:
+            raise ValueError(
+                f"Mode input {input_mode} is not in known modes: {self._modes}")
+        self._mode = input_mode
+
+    # ------------------------------------------------------------------
+    # Supervision helpers (effex.py:158-180)
+    # ------------------------------------------------------------------
+    def _get_kbd(self, queue):
+        while self.state in ("STARTUP", "RUN", "CALIBRATE"):
+            queue.put(sys.stdin.read(1))
+
+    def _child_threw_exception(self) -> bool:
+        if not self.exc_queue.empty():
+            exc_formatted = self.exc_queue.get_nowait()
+            self.logger.error("Parent caught child exception:\n%s",
+                              exc_formatted)
+            return True
+        return False
+
+    def close(self):
+        """Release the source (``sdr.close()`` analog, ``effex.py:176-180``)."""
+        feeder = getattr(self, "feeder", None)
+        if feeder is not None:
+            feeder.stop()
+        source = getattr(self, "source", None)
+        if source is not None:
+            source.close()
+            self.logger.info("Source closed.")
+
+    # ------------------------------------------------------------------
+    # Main loop (effex.py:326-417)
+    # ------------------------------------------------------------------
+    def run_state_machine(self):
+        """Run the machine to completion: OFF -> STARTUP -> (CALIBRATE <->
+        RUN) -> SHUTDOWN -> done."""
+        warned_full = [False] * self.config.nchan
+        while True:
+            # user input: 'c' requests recalibration (effex.py:332-336)
+            if not self.kbd_queue.empty():
+                kbd_in = self.kbd_queue.get_nowait()
+                if kbd_in == "c":
+                    self.logger.info("Calibration requested.")
+                    self.state = "CALIBRATE"
+
+            # buffer-full warnings with drop accounting (effex.py:338-342)
+            for c, buf in enumerate(self.bufs):
+                if buf.full() and not warned_full[c]:
+                    self.logger.warning(
+                        "Channel %d ring buffer filled up. "
+                        "Data may have been lost! (drops so far: %d)",
+                        c, buf.drops)
+                    warned_full[c] = True
+                elif not buf.full():
+                    warned_full[c] = False
+
+            if self._child_threw_exception():
+                self.logger.debug("Shutting down: child threw exception.")
+                self.state = "SHUTDOWN"
+
+            if self.state == "OFF":
+                self.state = "STARTUP"
+            elif self.state == "STARTUP":
+                self._startup_task()
+                self.state = ("CALIBRATE" if self.config.calibrate_on_start
+                              else "RUN")
+            elif self.state in ("CALIBRATE", "RUN"):
+                if time.time() < self.start_time:
+                    continue
+                t_fetch = time.time()
+                block = self.aligner.get(timeout=1.0)
+                self.logger.debug("Fetching samples took %f s",
+                                  time.time() - t_fetch)
+                if block is None:
+                    feeding = self.feeder is not None and self.feeder.alive
+                    if feeding or any(not b.empty() for b in self.bufs):
+                        self.logger.debug("Buffers empty, waiting")
+                        continue
+                    # Feeder done and buffers drained: wait for output drain
+                    # then shut down (effex.py:375-385).
+                    if self.vis_out.empty():
+                        self.logger.info(
+                            "IQ processing complete, buffers drained. "
+                            "Shutting down.")
+                        self.state = "SHUTDOWN"
+                    else:
+                        self.logger.debug(
+                            "Time up, waiting for output buffer to drain.")
+                        time.sleep(0.05)
+                    continue
+
+                t_xfer = time.time()
+                iq = jax.device_put(block)  # H2D (pinned-copy analog)
+                self.logger.debug("host->device transfer took %f s",
+                                  time.time() - t_xfer)
+
+                if self.state == "CALIBRATE":
+                    self._calibrate_task(iq)
+                    self.state = "RUN"
+                elif self.state == "RUN":
+                    if self.mode == "TEST":
+                        # artificial delay sweep (effex.py:403-404)
+                        self.calibrated_delays[1:] += self.test_delay_sweep_step
+                    t_gpu = time.time()
+                    vis = self._run_task(iq)
+                    self.logger.debug("device dispatch took %f s",
+                                      time.time() - t_gpu)
+                    self.vis_out.put(vis)
+                    self.blocks_processed += 1
+            elif self.state == "SHUTDOWN":
+                self.close()
+                break
+
+            self.logger.debug("ring buffer sizes: %s; vis_out: %d",
+                              [b.qsize() for b in self.bufs],
+                              self.vis_out.qsize())
+        if self.writer is not None:
+            self.writer.join(timeout=5.0)
+
+    # ------------------------------------------------------------------
+    # Tasks (effex.py:420-494)
+    # ------------------------------------------------------------------
+    def _startup_task(self):
+        """Write the CSV header and start feeder/writer/keyboard threads
+        (``effex.py:420-474``)."""
+        products.write_metadata(self.output_file, self.config)
+
+        self.start_time = time.time() + self.config.startup_duration
+        self.logger.info(
+            "Cross-correlation will begin at %s",
+            time.strftime("%a, %d %b %Y %H:%M:%S",
+                          time.localtime(self.start_time)))
+
+        self.feeder = Feeder(self.source, self.bufs, self.num_samp,
+                             start_time=self.start_time,
+                             run_time=self.run_time,
+                             exc_queue=self.exc_queue).start()
+        self.logger.debug("Started feeder thread.")
+
+        self.writer = products.VisibilityWriter(
+            self.output_file, self.vis_out,
+            active_fn=lambda: self.state in ("STARTUP", "RUN", "CALIBRATE"),
+        ).start()
+        self.logger.debug("Started output buffering thread.")
+
+        if self.config.keyboard_control and sys.stdin.isatty():
+            threading.Thread(target=self._get_kbd, args=(self.kbd_queue,),
+                             daemon=True).start()
+            print(LINESEP)
+            print("Listening for user input. Input a character & return:")
+            print(LINESEP)
+            print("c : request delay recalibration")
+            print(LINESEP)
+
+    def _calibrate_task(self, iq):
+        """Estimate per-channel delays from the current block
+        (``effex.py:476-487``).  Assumes a flat-PSD noise-like input."""
+        self.logger.debug("Starting calibration")
+        delays = np.asarray(self.engine.calibrate(iq), dtype=np.float64)
+        if self.mode == "TEST":
+            delays[1:] -= self.test_delay_offset  # effex.py:578-579
+        self.calibrated_delays = delays
+        self.logger.info("Estimated delay (us): %s",
+                         1e6 * self.calibrated_delays[1:])
+
+    def _run_task(self, iq):
+        """One fused F+X step on the device; returns the visibility (still
+        on device — the writer thread forces the transfer)."""
+        delays = jnp.asarray(self.calibrated_delays, dtype=jnp.float32)
+        vis, self.history = self.engine.step(iq, delays, self.history)
+        if self.config.nchan == 2:
+            vis = vis[0]  # reference-parity: one row per block
+        return vis

@@ -1,0 +1,133 @@
+"""Mesh-sharded FX correlator step (shard_map + XLA collectives).
+
+The distributed decomposition (nothing like it exists in the reference — its
+only transport is pickled arrays over multiprocessing queues on one host,
+``/root/reference/effex/effex.py:105-106``; this is the SURVEY.md §5.8
+TPU-native equivalent):
+
+  1. **F-stage, frame-sharded.**  The input block ``[nch, num_samp]`` is
+     viewed as ``S = num_samp/nbins`` PFB rows and split across the
+     linearized (time, freq) mesh.  Each device runs the windowed-FIR + FFT
+     on its local rows.
+  2. **Halo exchange.**  Frame ``k`` needs rows ``k-ntaps+1..k``, so each
+     device sends its trailing ``ntaps-1`` rows to its right neighbor
+     (``lax.ppermute`` over the linearized shard index — (ntaps-1)*nbins
+     complex samples per channel, tiny vs. the data).  Shard 0 consumes the
+     tap history carried from the previous block, preserving streaming
+     continuity across both block and shard boundaries.
+  3. **Corner turn.**  ``lax.all_to_all`` over the 'freq' axis converts the
+     spectra from frame-sharded to bin-sharded layout — the canonical FX
+     corner turn, riding ICI.
+  4. **X-stage, bin-sharded.**  Each device multiply-accumulates its bins
+     for every baseline over its local frames; ``lax.pmean`` over 'time'
+     completes the visibility integration.
+
+Output: visibilities ``[nbl, nbins]`` bin-sharded over 'freq' (fftshift and
+the continuum reduction happen outside the shard_map on the global array),
+plus the new tap history for the next block.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fxtpu.ops.pfb import pfb_fir
+from fxtpu.ops.xengine import fstc_rotate, continuum_reduce
+from fxtpu.parallel.mesh import FREQ_AXIS, TIME_AXIS, validate_shapes
+
+AXES = (TIME_AXIS, FREQ_AXIS)
+
+
+def make_sharded_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
+                         pairs: np.ndarray, bandwidth: float, frequency: float,
+                         mesh: jax.sharding.Mesh, num_samp: int,
+                         dtype=jnp.complex64):
+    """Build a jitted sharded step: ``(iq [nch, num_samp], delays [nch],
+    history [nch, ntaps-1, nbins]) -> (vis, new_history)``.
+
+    ``vis`` is ``[nbl, nbins]`` (SPECTRUM) or ``[nbl]`` (CONTINUUM/TEST),
+    fftshifted, matching the single-device path bit-for-bit up to float
+    reduction order.
+    """
+    ntaps = int(window2d.shape[0])
+    if window2d.shape[1] != nbins:
+        raise ValueError("window2d must be [ntaps, nbins]")
+    t_sz = mesh.shape[TIME_AXIS]
+    f_sz = mesh.shape[FREQ_AXIS]
+    n_shards = t_sz * f_sz
+    validate_shapes(num_samp, nbins, mesh)
+    s_rows = num_samp // nbins
+    w2d = jnp.asarray(window2d, dtype=jnp.float32)
+    pairs_a = jnp.asarray(pairs)
+    continuum = mode in ("CONTINUUM", "TEST")
+
+    def local_fx(rows, delays, history):
+        # rows: [nch, S_loc, nbins] local shard; history: full [nch, ntaps-1, nbins]
+        if ntaps > 1:
+            tail = rows[:, -(ntaps - 1):, :]
+            if n_shards > 1:
+                idx = lax.axis_index(AXES)
+                # right-shift the tails one linearized shard; shard 0
+                # receives zeros (no source) and substitutes the carried
+                # block history instead.
+                prev = lax.ppermute(
+                    tail, AXES, [(i, i + 1) for i in range(n_shards - 1)])
+                prev = jnp.where(idx == 0, history.astype(rows.dtype), prev)
+                # new history for the next block = last shard's tail,
+                # replicated via masked psum (tiny).
+                new_hist = lax.psum(
+                    jnp.where(idx == n_shards - 1, tail,
+                              jnp.zeros_like(tail)), AXES)
+            else:
+                prev = history.astype(rows.dtype)
+                new_hist = tail
+            xp = jnp.concatenate([prev, rows], axis=1)
+        else:
+            xp = rows
+            new_hist = history
+        fir = pfb_fir(xp, w2d)
+        spec = jnp.fft.fft(fir, axis=-1)
+        spec = fstc_rotate(spec, delays, bandwidth, frequency)
+        if f_sz > 1:
+            # corner turn: [nch, S_loc, nbins] -> [nch, S_loc*F, nbins/F]
+            spec = lax.all_to_all(spec, FREQ_AXIS, split_axis=2,
+                                  concat_axis=1, tiled=True)
+        gp = jnp.take(spec, pairs_a[:, 0], axis=0)
+        gq = jnp.take(spec, pairs_a[:, 1], axis=0)
+        acc = jnp.mean(gp * jnp.conj(gq), axis=1)  # [nbl, nbins_loc]
+        # Always reduce over 'time' (no-op collective at size 1; also lets
+        # shard_map statically infer the out_specs replication).
+        acc = lax.pmean(acc, TIME_AXIS)
+        return acc, new_hist
+
+    sharded = jax.shard_map(
+        local_fx, mesh=mesh,
+        in_specs=(P(None, AXES, None), P(), P()),
+        out_specs=(P(None, FREQ_AXIS), P()),
+    )
+
+    @jax.jit
+    def step(iq, delays, history):
+        iq = iq.astype(dtype)
+        iq = lax.with_sharding_constraint(
+            iq, NamedSharding(mesh, P(None, AXES)))
+        # DC-spike removal: subtract the per-channel complex mean
+        # (effex.py:393-395); global mean -> XLA all-reduce over shards.
+        iq = iq - jnp.mean(iq, axis=-1, keepdims=True)
+        rows = iq[:, : s_rows * nbins].reshape(iq.shape[0], s_rows, nbins)
+        rows = lax.with_sharding_constraint(
+            rows, NamedSharding(mesh, P(None, AXES, None)))
+        vis, new_hist = sharded(rows, jnp.asarray(delays), history)
+        vis = jnp.fft.fftshift(vis, axes=-1)
+        if continuum:
+            vis = continuum_reduce(vis, bandwidth)
+        return vis, new_hist
+
+    return step

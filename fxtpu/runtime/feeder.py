@@ -1,0 +1,145 @@
+"""Host-side feeder: source → per-channel ring buffers → aligned device blocks.
+
+This is the reference's L4 concurrency runtime rebuilt for the TPU ingest
+path.  The reference runs one daemon *process* per SDR pushing pickled arrays
+into ``multiprocessing.Queue``s, synchronized only by a common start epoch
+(``/root/reference/effex/effex.py:420-474,630-664``); misaligned drops would
+desynchronize the channels forever.  Here:
+
+  * one :class:`Feeder` thread per source streams aligned multi-channel
+    blocks and fans each channel's slice into its own sequence-numbered
+    :class:`~fxtpu.runtime.ringbuffer.RingBuffer` (USB-I/O-per-channel
+    sources do their own per-device reading inside ``read_block``);
+  * a :class:`BlockAligner` re-pairs channels **by sequence number**, so a
+    drop in one channel discards only the matching blocks in the others and
+    alignment is restored — the explicit-seq discipline from SURVEY.md §5.2;
+  * the common start-time barrier is preserved (``effex.py:426,649-650``) for
+    real-time sources;
+  * child exceptions are reported through an exception queue exactly like
+    the reference's supervision channel (``effex.py:73-74,656-659``).
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+import traceback
+from queue import Queue
+from typing import List, Optional
+
+import numpy as np
+
+from fxtpu.runtime.ringbuffer import BufferFull, RingBuffer
+from fxtpu.sources.base import Source
+
+logger = logging.getLogger(__name__)
+
+
+class Feeder:
+    """Streams blocks from a source into per-channel ring buffers."""
+
+    def __init__(self, source: Source, bufs: List[RingBuffer], num_samp: int,
+                 start_time: float = 0.0, run_time: float = float("inf"),
+                 exc_queue: Optional[Queue] = None,
+                 put_timeout: float = 30.0):
+        if len(bufs) != source.nchan:
+            raise ValueError("need one ring buffer per channel")
+        self.source = source
+        self.bufs = bufs
+        self.num_samp = int(num_samp)
+        self.start_time = start_time
+        self.run_time = run_time
+        self.exc_queue = exc_queue
+        self.put_timeout = put_timeout
+        self.blocks_fed = 0
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="fxtpu-feeder")
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        self.source.stop()
+
+    def join(self, timeout: Optional[float] = None):
+        if self._thread is not None:
+            self._thread.join(timeout)
+
+    @property
+    def alive(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def _run(self):
+        try:
+            # Start barrier: common epoch for all feeders (effex.py:649-650).
+            while time.time() < self.start_time and not self._stop.is_set():
+                time.sleep(min(1e-3, max(self.start_time - time.time(), 0)))
+            t0 = time.time()
+            while not self._stop.is_set():
+                block = self.source.read_block(self.num_samp)
+                if block is None:
+                    logger.info("Source exhausted; feeder stopping.")
+                    break
+                for c, buf in enumerate(self.bufs):
+                    buf.put(block[c], timeout=self.put_timeout,
+                            seq=self.blocks_fed)
+                self.blocks_fed += 1
+                if time.time() - t0 > self.run_time:
+                    break
+            logger.info("Buffering ended at %s",
+                        time.strftime("%a, %d %b %Y %H:%M:%S"))
+        except BufferFull:
+            logger.exception("feeder filled a ring buffer and it was not "
+                             "emptied before timeout occurred.")
+            if self.exc_queue is not None:
+                self.exc_queue.put(traceback.format_exc())
+            raise
+        except Exception:
+            if self.exc_queue is not None:
+                self.exc_queue.put(traceback.format_exc())
+            raise
+        finally:
+            for buf in self.bufs:
+                buf.close()
+
+
+class BlockAligner:
+    """Re-pairs per-channel blocks by sequence number.
+
+    ``get()`` returns an aligned ``[nchan, num_samp]`` array (copied out of
+    the ring slots) or None if no aligned set arrived within the timeout.
+    Misaligned blocks (a channel missing a seq the others have) are discarded
+    and counted in ``realigned``.
+    """
+
+    def __init__(self, bufs: List[RingBuffer]):
+        self.bufs = bufs
+        self.realigned = 0
+
+    def get(self, timeout: float = 1.0) -> Optional[np.ndarray]:
+        deadline = time.time() + timeout
+        items = []
+        for buf in self.bufs:
+            item = buf.get(timeout=max(deadline - time.time(), 1e-3))
+            if item is None:
+                return None
+            items.append(item)
+        while True:
+            target = max(seq for seq, _ in items)
+            if all(seq == target for seq, _ in items):
+                return np.stack([blk for _, blk in items])
+            # Some channel is behind: advance laggards to the target seq.
+            self.realigned += 1
+            for c, (seq, _) in enumerate(items):
+                while seq < target:
+                    nxt = self.bufs[c].get(timeout=max(deadline - time.time(),
+                                                       1e-3))
+                    if nxt is None:
+                        return None
+                    seq, blk = nxt
+                    items[c] = (seq, blk)

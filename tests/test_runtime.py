@@ -1,0 +1,135 @@
+"""Host runtime: ring buffer semantics, drop accounting, seq alignment,
+feeder supervision — the explicit-sequence-number discipline from
+SURVEY.md §5.2 that the reference (mp.Queue pairs) cannot test."""
+
+import threading
+import time
+from queue import Queue
+
+import numpy as np
+import pytest
+
+from fxtpu.runtime import BlockAligner, BufferFull, Feeder, RingBuffer
+from fxtpu.sources import FaultInjectingSource, NoiseSource
+
+
+def test_ring_fifo_and_seq():
+    rb = RingBuffer(4, (8,), dtype=np.float32)
+    for i in range(3):
+        rb.put(np.full(8, i, np.float32))
+    assert rb.qsize() == 3
+    for i in range(3):
+        seq, blk = rb.get()
+        assert seq == i
+        assert blk[0] == i
+    assert rb.get(timeout=0.01) is None
+
+
+def test_ring_raise_policy():
+    rb = RingBuffer(2, (4,), policy="raise")
+    rb.put(np.zeros(4)), rb.put(np.zeros(4))
+    with pytest.raises(BufferFull):
+        rb.put(np.zeros(4), timeout=0.05)
+
+
+def test_ring_drop_policy_counts():
+    rb = RingBuffer(2, (4,), policy="drop")
+    assert rb.put(np.zeros(4)) == 0
+    assert rb.put(np.zeros(4)) == 1
+    assert rb.put(np.ones(4)) == -1  # dropped
+    assert rb.drops == 1
+    assert rb.qsize() == 2
+
+
+def test_ring_overwrite_policy():
+    rb = RingBuffer(2, (4,), policy="overwrite")
+    rb.put(np.full(4, 0.0))
+    rb.put(np.full(4, 1.0))
+    rb.put(np.full(4, 2.0))  # overwrites oldest
+    assert rb.drops == 1
+    seq, blk = rb.get()
+    assert seq == 1 and blk[0] == 1.0
+
+
+def test_ring_short_block_zero_padded():
+    rb = RingBuffer(2, (8,))
+    rb.put(np.ones(5, np.complex64))
+    _, blk = rb.get()
+    assert np.all(blk[:5] == 1) and np.all(blk[5:] == 0)
+
+
+def test_ring_blocking_put_get_across_threads():
+    rb = RingBuffer(1, (4,))
+    rb.put(np.zeros(4))
+    got = []
+
+    def consumer():
+        time.sleep(0.05)
+        got.append(rb.get(timeout=1))
+        got.append(rb.get(timeout=1))
+
+    t = threading.Thread(target=consumer)
+    t.start()
+    rb.put(np.ones(4), timeout=1)  # blocks until consumer frees a slot
+    t.join()
+    assert len(got) == 2 and got[1][1][0] == 1
+
+
+def test_aligner_realigns_after_drop():
+    """A drop in one channel discards the matching seq in the other."""
+    b0, b1 = RingBuffer(8, (4,)), RingBuffer(8, (4,))
+    # channel 0 got blocks 0,1,2 ; channel 1 dropped block 1
+    for seq in (0, 1, 2):
+        b0.put(np.full(4, seq), seq=seq)
+    for seq in (0, 2):
+        b1.put(np.full(4, 10 + seq), seq=seq)
+    al = BlockAligner([b0, b1])
+    blk = al.get(timeout=0.5)
+    assert blk[0][0] == 0 and blk[1][0] == 10
+    blk = al.get(timeout=0.5)  # seq 1 on ch0 must be skipped
+    assert blk[0][0] == 2 and blk[1][0] == 12
+    assert al.realigned == 1
+
+
+def test_feeder_streams_and_closes_buffers():
+    src = NoiseSource(nchan=2, seed=1)
+    bufs = [RingBuffer(64, (1024,)) for _ in range(2)]
+    f = Feeder(src, bufs, 1024, start_time=0.0, run_time=0.2).start()
+    al = BlockAligner(bufs)
+    blocks = 0
+    while True:
+        blk = al.get(timeout=1.0)
+        if blk is None:
+            break
+        assert blk.shape == (2, 1024)
+        blocks += 1
+    f.join(2.0)
+    assert blocks > 0
+    assert blocks == f.blocks_fed
+    assert all(b.closed for b in bufs)
+
+
+def test_feeder_reports_child_exception():
+    """Supervision: injected source failure lands in the exception queue
+    (effex.py:656-659 contract)."""
+    src = FaultInjectingSource(NoiseSource(nchan=2, seed=1), fail_at=3)
+    bufs = [RingBuffer(64, (512,)) for _ in range(2)]
+    excq = Queue()
+    f = Feeder(src, bufs, 512, start_time=0.0, run_time=5.0, exc_queue=excq)
+    f._thread = threading.Thread(target=f._run, daemon=True)
+    f._thread.start()
+    f.join(5.0)
+    assert not excq.empty()
+    assert "injected source failure" in excq.get()
+
+
+def test_feeder_source_exhaustion_ends_stream(tmp_path):
+    """Replay-style finite sources end the stream cleanly."""
+    from fxtpu.sources import ReplaySource, save_recording
+    src = NoiseSource(nchan=2, seed=5)
+    path = save_recording(src, str(tmp_path / "rec.npy"), 512, 4)
+    rep = ReplaySource(path)
+    bufs = [RingBuffer(16, (512,)) for _ in range(2)]
+    f = Feeder(rep, bufs, 512, start_time=0.0, run_time=30.0).start()
+    f.join(5.0)
+    assert f.blocks_fed == 4

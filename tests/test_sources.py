@@ -1,0 +1,109 @@
+"""Source implementations: correlated synthetic signals with known ground
+truth, replay roundtrip, fault injection — the hardware-free L1 layer the
+reference never had (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from fxtpu.config import CorrelatorConfig
+from fxtpu.sources import (FaultInjectingSource, NoiseSource, ReplaySource,
+                           SinusoidSource, make_source, save_recording)
+from fxtpu.sources.synthetic import fractional_delay
+
+
+def test_noise_source_shapes_and_determinism():
+    a = NoiseSource(nchan=3, seed=9).read_block(1024)
+    b = NoiseSource(nchan=3, seed=9).read_block(1024)
+    assert a.shape == (3, 1024) and a.dtype == np.complex64
+    np.testing.assert_array_equal(a, b)
+
+
+def test_noise_source_injected_delay_is_recoverable():
+    d = 5.0 / 2.4e6  # 5 samples
+    src = NoiseSource(nchan=2, sample_rate=2.4e6, delays=[0.0, d],
+                      snr=1000, seed=2)
+    blk = src.read_block(2**14)
+    # cross-correlate at integer lags
+    x = np.correlate(blk[1], blk[0], mode="full")
+    lag = np.argmax(np.abs(x)) - (len(blk[0]) - 1)
+    assert lag == 5
+
+
+def test_noise_source_snr_scaling():
+    hi = NoiseSource(nchan=2, snr=1e6, seed=3).read_block(4096)
+    corr = np.abs(np.vdot(hi[0], hi[1])) / (
+        np.linalg.norm(hi[0]) * np.linalg.norm(hi[1]))
+    assert corr > 0.99
+    lo = NoiseSource(nchan=2, snr=0.01, seed=3).read_block(4096)
+    corr_lo = np.abs(np.vdot(lo[0], lo[1])) / (
+        np.linalg.norm(lo[0]) * np.linalg.norm(lo[1]))
+    assert corr_lo < 0.2
+
+
+def test_sinusoid_source_tone_and_delay_phase():
+    f0 = 1e5
+    src = SinusoidSource(nchan=2, sample_rate=1e6, tone_freq=f0,
+                         delays=[0.0, 2e-6])
+    blk = src.read_block(4096)
+    spec = np.fft.fft(blk[0])
+    peak = np.fft.fftfreq(4096, d=1e-6)[np.argmax(np.abs(spec))]
+    assert abs(peak - f0) < 1e6 / 4096
+    # a tone delayed by d shows phase 2 pi f d between channels
+    ph = np.angle(np.vdot(blk[1], blk[0]))
+    expect = 2 * np.pi * f0 * 2e-6 % (2 * np.pi)
+    assert abs((ph - expect + np.pi) % (2 * np.pi) - np.pi) < 0.01
+
+
+def test_fractional_delay_integer_matches_roll(rng):
+    x = (rng.normal(size=256) + 1j * rng.normal(size=256)).astype(np.complex64)
+    np.testing.assert_allclose(fractional_delay(x, 3), np.roll(x, 3),
+                               atol=1e-4)
+
+
+def test_replay_roundtrip(tmp_path):
+    src = NoiseSource(nchan=2, seed=4)
+    path = save_recording(src, str(tmp_path / "rec.npy"), 256, 3)
+    rep = ReplaySource(path)
+    assert rep.nchan == 2 and rep.total_samples == 768
+    blocks = [rep.read_block(256) for _ in range(3)]
+    assert all(b is not None for b in blocks)
+    assert rep.read_block(256) is None  # exhausted
+    loop = ReplaySource(path, loop=True)
+    for _ in range(5):
+        assert loop.read_block(256) is not None
+
+
+def test_replay_raw_c64(tmp_path):
+    data = (np.arange(512) + 1j).astype(np.complex64)
+    p0, p1 = str(tmp_path / "ch0.c64"), str(tmp_path / "ch1.c64")
+    data.tofile(p0)
+    (data * 2).tofile(p1)
+    rep = ReplaySource([p0, p1])
+    blk = rep.read_block(512)
+    assert blk.shape == (2, 512)
+    np.testing.assert_array_equal(blk[1], blk[0] * 2)
+
+
+def test_fault_injection_short_and_fail():
+    src = FaultInjectingSource(NoiseSource(nchan=2, seed=1), short_every=2)
+    assert src.read_block(128).shape == (2, 128)
+    assert src.read_block(128).shape == (2, 64)
+    failing = FaultInjectingSource(NoiseSource(nchan=2, seed=1), fail_at=1)
+    with pytest.raises(RuntimeError):
+        failing.read_block(128)
+
+
+def test_make_source_from_config(tmp_path):
+    cfg = CorrelatorConfig(source="synthetic", nchan=4, synthetic_delay=1e-6)
+    src = make_source(cfg)
+    assert isinstance(src, NoiseSource) and src.nchan == 4
+    assert src.delays[0] == 0 and src.delays[1] == 1e-6
+    with pytest.raises(ValueError):
+        make_source(CorrelatorConfig(source="replay"))
+
+
+def test_rtlsdr_plugin_gated_import():
+    import fxtpu.sources.rtlsdr as r
+    if not r.HAVE_RTLSDR:
+        with pytest.raises(ImportError):
+            r.RtlSdrSource()

@@ -1,0 +1,199 @@
+"""State-machine and property tests, mirroring the reference system-level
+suite (test_effex.py:124-248) — but hardware-free: the fixture builds a
+correlator over a synthetic source instead of opening two USB SDRs."""
+
+import numpy as np
+import pytest
+
+from fxtpu.config import CorrelatorConfig
+from fxtpu.correlator import Correlator, StateTransitionError
+from fxtpu.sources import NoiseSource
+
+
+def make_cor(**kw):
+    kw.setdefault("num_samp", 2**14)
+    kw.setdefault("nbins", 2**10)
+    kw.setdefault("clamp_num_samp", False)
+    return Correlator(config=CorrelatorConfig(**kw))
+
+
+@pytest.fixture(scope="class")
+def cor():
+    c = make_cor()
+    yield c
+    c.close()
+
+
+def step_and_assert(cor, sequence):
+    # test_effex.py:52-56
+    for state in sequence:
+        cor.state = state
+        assert state == cor.state
+
+
+@pytest.mark.usefixtures("cor")
+class TestNominal:
+    def test_correlator_init(self, cor):
+        # test_effex.py:127-134 defaults
+        assert cor.state == "OFF"
+        assert cor.mode == "SPECTRUM"
+        assert cor.bandwidth == 2.4e6
+        assert cor.frequency == 1.4204e9
+        assert cor.gain == 49.6
+
+    def test_change_bandwidth(self, cor):
+        cor.bandwidth = 2.3e6
+        assert cor.bandwidth == 2.3e6
+        assert cor.source.sample_rate == 2.3e6  # hardware pass-through
+
+    def test_change_nbins(self, cor):
+        cor.nbins = 2**11
+        assert cor.nbins == 2**11
+
+    def test_change_frequency(self, cor):
+        cor.frequency = 1.419e9
+        assert cor.frequency == 1.419e9
+        assert cor.source.center_freq == 1.419e9
+
+    def test_change_gain(self, cor):
+        cor.gain = 29.7
+        assert cor.gain == 29.7
+        assert cor.source.gain == 29.7
+
+    def test_nominal_state_transitions(self, cor):
+        # test_effex.py:157-159
+        step_and_assert(cor, ("STARTUP", "RUN", "CALIBRATE", "RUN",
+                              "SHUTDOWN", "OFF"))
+
+    def test_early_aborts(self, cor):
+        # test_effex.py:162-170
+        step_and_assert(cor, ("STARTUP", "SHUTDOWN", "OFF"))
+        step_and_assert(cor, ("STARTUP", "RUN", "SHUTDOWN", "OFF"))
+        step_and_assert(cor, ("STARTUP", "RUN", "CALIBRATE", "SHUTDOWN",
+                              "OFF"))
+        step_and_assert(cor, ("STARTUP", "RUN", "CALIBRATE", "RUN",
+                              "SHUTDOWN", "OFF"))
+
+
+# Illegal transitions use fresh instances: the reference's shared fixture
+# leaks closed-SDR state between these tests; ours are independent.
+def test_bad_transition_from_OFF():
+    cor = make_cor()
+    with pytest.raises(StateTransitionError):
+        cor.state = "OFF"
+    cor = make_cor()
+    with pytest.raises(StateTransitionError):
+        cor.state = "RUN"
+
+
+def test_bad_transition_from_STARTUP():
+    cor = make_cor()
+    cor.state = "STARTUP"
+    with pytest.raises(StateTransitionError):
+        cor.state = "STARTUP"
+
+
+def test_bad_transition_from_RUN():
+    cor = make_cor()
+    cor.state = "STARTUP"
+    cor.state = "RUN"
+    with pytest.raises(StateTransitionError):
+        cor.state = "RUN"
+    cor = make_cor()
+    cor.state = "STARTUP"
+    cor.state = "RUN"
+    with pytest.raises(StateTransitionError):
+        cor.state = "STARTUP"
+
+
+def test_bad_transition_from_CALIBRATE():
+    cor = make_cor()
+    cor.state = "STARTUP"
+    cor.state = "RUN"
+    cor.state = "CALIBRATE"
+    with pytest.raises(StateTransitionError):
+        cor.state = "CALIBRATE"
+    cor = make_cor()
+    cor.state = "STARTUP"
+    cor.state = "RUN"
+    cor.state = "CALIBRATE"
+    with pytest.raises(StateTransitionError):
+        cor.state = "STARTUP"
+
+
+def test_unknown_state_raises():
+    cor = make_cor()
+    with pytest.raises(ValueError):
+        cor.state = "WARP"
+
+
+def test_nested_exception_alias():
+    # reference exposes Correlator.StateTransitionError (test_effex.py:175)
+    assert Correlator.StateTransitionError is StateTransitionError
+
+
+# ------------------------------------------------------------------
+# Off-nominal init (test_effex.py:225-248)
+# ------------------------------------------------------------------
+def test_bad_run_time_init():
+    with pytest.raises(ValueError):
+        make_cor(run_time=0)
+
+
+def test_bad_bandwidth_init():
+    # Should not raise; sources may warn if they declare a ceiling.
+    cor = make_cor(bandwidth=3.0e6)
+    cor.close()
+
+
+def test_bad_mode_init():
+    with pytest.raises(ValueError):
+        make_cor(mode="FOO")
+
+
+def test_alt_mode_init():
+    alt = make_cor(mode="CONTINUUM")
+    assert alt.state == "OFF"
+    assert alt.mode == "CONTINUUM"
+    alt.close()
+
+
+def test_mode_lowercase_accepted():
+    alt = make_cor(mode="continuum")
+    assert alt.mode == "CONTINUUM"
+    alt.close()
+
+
+def test_num_samp_clamping():
+    # effex.py:277-284: silent clamp to [2^8, 2^18]
+    cor = Correlator(config=CorrelatorConfig(num_samp=2**20, nbins=2**10))
+    assert cor.num_samp == 2**18
+    cor.close()
+    cor = Correlator(config=CorrelatorConfig(num_samp=4, nbins=2, ntaps=1))
+    assert cor.num_samp == 2**8
+    cor.close()
+
+
+def test_pfb_constraint_enforced():
+    # effex.py:118-124: at least one full window per block
+    with pytest.raises(ValueError):
+        CorrelatorConfig(num_samp=2**10, nbins=2**10, ntaps=4,
+                         clamp_num_samp=False)
+
+
+def test_child_exception_forces_shutdown():
+    """Supervision contract (effex.py:165-173,344-347)."""
+    cor = make_cor()
+    cor.exc_queue.put("boom traceback")
+    assert cor._child_threw_exception()
+    assert not cor._child_threw_exception()
+
+
+def test_reference_kwarg_constructor():
+    """The reference's kwargs shape works directly (effex.py:45-53)."""
+    cor = Correlator(run_time=1, bandwidth=2.4e6, frequency=1.4204e9,
+                     num_samp=2**14, nbins=2**10, gain=49.6,
+                     mode="SPECTRUM", loglevel="WARNING",
+                     clamp_num_samp=False)
+    assert cor.mode == "SPECTRUM"
+    cor.close()
