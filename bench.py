@@ -11,9 +11,15 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache: first compile through the remote-compile
+# tunnel is minutes; cached recompiles are seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/fxtpu_xla"))
 
 
 REFERENCE_AGGREGATE_SAMPLES_PER_S = 4.8e6  # BASELINE.md implied real-time rate
@@ -32,7 +38,7 @@ def bench(block_pow: int = 22, nbins: int = 4096, nchan: int = 2,
                            nbins=nbins, clamp_num_samp=False)
     eng = FxEngine(cfg)
     rng = np.random.default_rng(0)
-    iq = jnp.asarray(
+    iq = eng.prepare_block(
         (rng.normal(size=(nchan, num_samp)).astype(np.float32)
          + 1j * rng.normal(size=(nchan, num_samp)).astype(np.float32)))
     delays = jnp.asarray([0.0] * nchan, dtype=jnp.float32)
@@ -40,15 +46,15 @@ def bench(block_pow: int = 22, nbins: int = 4096, nchan: int = 2,
 
     # warmup / compile
     vis, history = eng.step(iq, delays, history)
-    vis.block_until_ready()
+    jax.block_until_ready(vis)
     for _ in range(warmup):
         vis, history = eng.step(iq, delays, history)
-    vis.block_until_ready()
+    jax.block_until_ready(vis)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         vis, history = eng.step(iq, delays, history)
-    vis.block_until_ready()
+    jax.block_until_ready(vis)
     dt = time.perf_counter() - t0
 
     agg_samples = nchan * num_samp * iters

@@ -136,10 +136,12 @@ class Correlator:
         self.mode = config.mode
         self.start_time = -1.0
 
-        # --- host buffering (effex.py:105-110) ---------------------------
+        # --- host buffering (effex.py:105-110): native C++ ring when the
+        # shared library is built, Python fallback otherwise ----------------
+        from fxtpu.runtime.native import make_ring
         self.bufs = [
-            RingBuffer(config.buffer_chunks, (config.num_samp,),
-                       dtype=np.complex64)
+            make_ring(config.buffer_chunks, (config.num_samp,),
+                      dtype=np.complex64)
             for _ in range(config.nchan)
         ]
         self.aligner = BlockAligner(self.bufs)
@@ -345,7 +347,9 @@ class Correlator:
                     continue
 
                 t_xfer = time.time()
-                iq = jax.device_put(block)  # H2D (pinned-copy analog)
+                # split to planes + H2D (pinned-copy analog; complex dtypes
+                # do not exist on this TPU backend)
+                iq = self.engine.prepare_block(block)
                 self.logger.debug("host->device transfer took %f s",
                                   time.time() - t_xfer)
 

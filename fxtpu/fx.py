@@ -7,6 +7,15 @@ X-stage conjugate multiply, and visibility integration.  The calibrated
 delays enter as a *traced* vector argument, so recalibration (and the
 TEST-mode delay sweep) never triggers a recompile (SURVEY.md "hard parts").
 
+Two implementations, same contract, asserted equal in tests:
+
+  * ``impl='planes'`` (production, the default): dual-plane real f32 +
+    MXU matmul FFT (fxtpu.ops.{cplx,cfft,planes}) — complex dtypes do not
+    exist on this TPU backend, and the matmul FFT is the MXU-native
+    formulation anyway.
+  * ``impl='complex'``: complex64 + jnp.fft — the concise CPU reference
+    path used by oracle tests.
+
 ``make_fx_step`` returns the single-device step; pass a mesh to get the
 shard_map'ed multi-device step from :mod:`fxtpu.parallel.sharded` with the
 same call signature.
@@ -22,7 +31,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from fxtpu.config import CorrelatorConfig
+from fxtpu.ops.cplx import Cplx, from_complex
 from fxtpu.ops.pfb import pfb_fir, zero_history
+from fxtpu.ops import planes as pl_ops
 from fxtpu.ops.window import pfb_window
 from fxtpu.ops.xengine import (baseline_pairs, continuum_reduce, fstc_rotate)
 from fxtpu.ops.delay import estimate_delay_gaussian
@@ -32,53 +43,73 @@ __all__ = ["make_fx_step", "make_calibrator", "dc_remove", "FxEngine"]
 
 def dc_remove(iq):
     """DC-spike removal: subtract the per-channel complex mean
-    (``effex.py:393-395`` subtracts real/imag means separately — the same
-    operation)."""
+    (``effex.py:393-395``)."""
     return iq - jnp.mean(iq, axis=-1, keepdims=True)
+
+
+def _continuum_planes(vis: Cplx, bandwidth) -> Cplx:
+    return Cplx(jnp.mean(vis.re, axis=-1) / bandwidth,
+                jnp.mean(vis.im, axis=-1) / bandwidth)
 
 
 def make_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
                  pairs: np.ndarray, bandwidth: float, frequency: float,
-                 num_samp: int, dtype=jnp.complex64,
-                 mesh: Optional[jax.sharding.Mesh] = None,
-                 fir_impl: str = "xla"):
+                 num_samp: int, impl: str = "planes",
+                 mesh: Optional[jax.sharding.Mesh] = None):
     """Build the jitted per-block step:
 
         step(iq [nch, num_samp], delays [nch], history [nch, ntaps-1, nbins])
             -> (vis, new_history)
 
-    ``vis``: ``[nbl, nbins]`` fftshifted cross-power spectra (SPECTRUM) or
-    ``[nbl]`` scalars (CONTINUUM/TEST), matching ``Correlator._pfb_xcorr``
-    (``effex.py:497-527``) for nchan=2.
+    ``iq``/``history``/``vis`` are :class:`Cplx` pairs for impl='planes',
+    complex arrays for impl='complex'.  ``vis``: ``[nbl, nbins]`` fftshifted
+    cross-power spectra (SPECTRUM) or ``[nbl]`` scalars (CONTINUUM/TEST),
+    matching ``Correlator._pfb_xcorr`` (``effex.py:497-527``) for nchan=2.
     """
-    if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
+    if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
         from fxtpu.parallel.sharded import make_sharded_fx_step
         return make_sharded_fx_step(
             mode=mode, nbins=nbins, window2d=window2d, pairs=pairs,
             bandwidth=bandwidth, frequency=frequency, mesh=mesh,
-            num_samp=num_samp, dtype=dtype)
+            num_samp=num_samp, impl=impl)
 
     ntaps = int(window2d.shape[0])
     s_rows = num_samp // nbins
-    w2d = jnp.asarray(window2d, dtype=jnp.float32)
     pairs_a = jnp.asarray(pairs)
     continuum = mode in ("CONTINUUM", "TEST")
-    if fir_impl == "pallas":
-        from fxtpu.ops.pfb_pallas import pfb_fir_pallas
-        fir_fn = pfb_fir_pallas
-    else:
-        fir_fn = pfb_fir
+
+    if impl == "planes":
+        w2d = jnp.asarray(window2d, dtype=jnp.float32)
+
+        @jax.jit
+        def step(iq: Cplx, delays, history: Cplx):
+            iq = pl_ops.dc_remove_planes(iq)
+            spec, new_hist = pl_ops.spectrometer_planes(
+                iq, w2d, nbins, history=history)
+            spec = pl_ops.fstc_rotate_planes(spec, delays, bandwidth,
+                                             frequency)
+            vis = pl_ops.xcorr_baselines_planes(spec, pairs_a)
+            if continuum:
+                vis = _continuum_planes(vis, bandwidth)
+            return vis, new_hist
+
+        return step
+
+    if impl != "complex":
+        raise ValueError(f"unknown impl {impl}")
+
+    w2d = jnp.asarray(window2d, dtype=jnp.float32)
 
     @jax.jit
-    def step(iq, delays, history):
-        iq = dc_remove(iq.astype(dtype))
+    def step_c(iq, delays, history):
+        iq = dc_remove(iq.astype(jnp.complex64))
         rows = iq[:, : s_rows * nbins].reshape(iq.shape[0], s_rows, nbins)
         if ntaps > 1:
-            xp = jnp.concatenate([history.astype(dtype), rows], axis=1)
+            xp = jnp.concatenate([history.astype(iq.dtype), rows], axis=1)
             new_hist = xp[:, -(ntaps - 1):, :]
         else:
             xp, new_hist = rows, history
-        fir = fir_fn(xp, w2d)
+        fir = pfb_fir(xp, w2d)
         spec = jnp.fft.fft(fir, axis=-1)
         spec = fstc_rotate(spec, delays, bandwidth, frequency)
         gp = jnp.take(spec, pairs_a[:, 0], axis=0)
@@ -88,27 +119,38 @@ def make_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
             vis = continuum_reduce(vis, bandwidth)
         return vis, new_hist
 
-    return step
+    return step_c
 
 
-def make_calibrator(*, bandwidth: float, dtype=jnp.complex64):
+def make_calibrator(*, bandwidth: float, impl: str = "planes"):
     """Jitted all-channel delay calibration against channel 0.
 
-    Returns ``cal(iq [nch, num_samp]) -> delays [nch]`` seconds, with
-    ``delays[0] == 0``.  Channel blocks are DC-removed first, as the
-    reference calibrates on the DC-removed pinned buffers
-    (``effex.py:391-395`` then ``:484``).
+    Returns ``cal(iq) -> delays [nch]`` seconds, ``delays[0] == 0``.
+    Blocks are DC-removed first, as the reference calibrates on the
+    DC-removed pinned buffers (``effex.py:391-395`` then ``:484``).
     """
+    if impl == "planes":
+
+        @jax.jit
+        def cal(iq: Cplx):
+            iq = pl_ops.dc_remove_planes(iq)
+            ref = iq[0]
+            est = jax.vmap(
+                lambda x: pl_ops.estimate_delay_planes(ref, x, bandwidth)
+            )(iq[1:])
+            return jnp.concatenate([jnp.zeros((1,), est.dtype), est])
+
+        return cal
 
     @jax.jit
-    def cal(iq):
-        iq = dc_remove(iq.astype(dtype))
+    def cal_c(iq):
+        iq = dc_remove(iq.astype(jnp.complex64))
         ref = iq[0]
         est = jax.vmap(lambda x: estimate_delay_gaussian(ref, x, bandwidth))(
             iq[1:])
         return jnp.concatenate([jnp.zeros((1,), est.dtype), est])
 
-    return cal
+    return cal_c
 
 
 class FxEngine:
@@ -120,24 +162,32 @@ class FxEngine:
 
     def __init__(self, cfg: CorrelatorConfig,
                  mesh: Optional[jax.sharding.Mesh] = None,
-                 fir_impl: str = "xla"):
+                 impl: str = "planes"):
         self.cfg = cfg
         self.mesh = mesh
+        self.impl = impl
         self.window = pfb_window(cfg.ntaps, cfg.nbins, cfg.window)
         self.window2d = self.window.reshape(cfg.ntaps, cfg.nbins)
         self.pairs = baseline_pairs(cfg.nchan, cfg.include_autos)
-        self.dtype = jnp.complex64 if cfg.dtype == "complex64" else jnp.complex128
         self.step = make_fx_step(
             mode=cfg.mode, nbins=cfg.nbins, window2d=self.window2d,
             pairs=self.pairs, bandwidth=cfg.bandwidth, frequency=cfg.frequency,
-            num_samp=cfg.num_samp, dtype=self.dtype, mesh=mesh,
-            fir_impl=fir_impl)
-        self.calibrate = make_calibrator(bandwidth=cfg.bandwidth,
-                                         dtype=self.dtype)
+            num_samp=cfg.num_samp, impl=impl, mesh=mesh)
+        self.calibrate = make_calibrator(bandwidth=cfg.bandwidth, impl=impl)
 
     def fresh_history(self):
-        return zero_history((self.cfg.nchan,), self.cfg.nbins, self.cfg.ntaps,
-                            self.dtype)
+        shape = (self.cfg.nchan,)
+        if self.impl == "planes":
+            return pl_ops.zero_history_planes(shape, self.cfg.nbins,
+                                              self.cfg.ntaps)
+        return zero_history(shape, self.cfg.nbins, self.cfg.ntaps,
+                            jnp.complex64)
+
+    def prepare_block(self, block: np.ndarray):
+        """Host block [nch, num_samp] complex64 -> device input form."""
+        if self.impl == "planes":
+            return from_complex(block)
+        return jnp.asarray(block)
 
     def example_inputs(self, seed: int = 0):
         """Representative (iq, delays, history) inputs for compile checks."""
@@ -145,5 +195,5 @@ class FxEngine:
         iq = (rng.normal(size=(self.cfg.nchan, self.cfg.num_samp))
               + 1j * rng.normal(size=(self.cfg.nchan, self.cfg.num_samp))
               ).astype(np.complex64)
-        delays = np.zeros(self.cfg.nchan, dtype=np.float32)
-        return jnp.asarray(iq), jnp.asarray(delays), self.fresh_history()
+        delays = jnp.zeros(self.cfg.nchan, dtype=jnp.float32)
+        return self.prepare_block(iq), delays, self.fresh_history()

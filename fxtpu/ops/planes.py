@@ -1,0 +1,125 @@
+"""Plane-based (TPU-executable) DSP: PFB, FSTC/X-engine, delay estimator.
+
+These mirror the complex-dtype reference implementations in
+``fxtpu.ops.{pfb,xengine,delay}`` exactly (tests assert parity), but operate
+on :class:`~fxtpu.ops.cplx.Cplx` dual-plane reals and the MXU matmul FFT
+(``fxtpu.ops.cfft``) — the representation that actually runs on this TPU
+backend, which implements no complex dtypes (see cfft module docstring).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fxtpu.ops import cfft
+from fxtpu.ops.cplx import (Cplx, abs2, cconcat, cexp, cfftshift, cmean,
+                            cmul, cmulconj, cpad_last, creshape, cscale,
+                            ctake, czeros)
+
+__all__ = [
+    "zero_history_planes", "pfb_fir_planes", "spectrometer_planes",
+    "fstc_rotate_planes", "xcorr_baselines_planes", "dc_remove_planes",
+    "estimate_delay_planes",
+]
+
+
+def zero_history_planes(batch_shape, nbins: int, ntaps: int,
+                        dtype=jnp.float32) -> Cplx:
+    return czeros((*batch_shape, max(ntaps - 1, 0), nbins), dtype)
+
+
+def dc_remove_planes(iq: Cplx) -> Cplx:
+    """Subtract per-channel means of both components (effex.py:393-395)."""
+    return Cplx(iq.re - jnp.mean(iq.re, axis=-1, keepdims=True),
+                iq.im - jnp.mean(iq.im, axis=-1, keepdims=True))
+
+
+def pfb_fir_planes(xp: Cplx, window2d) -> Cplx:
+    """Windowed FIR across taps on planes (same math as ops.pfb.pfb_fir:
+    real window times both planes)."""
+    ntaps, nbins = window2d.shape
+    s = xp.shape[-2] - ntaps + 1
+    w = window2d.astype(xp.dtype)
+    acc_re = w[0] * jax.lax.slice_in_dim(xp.re, 0, s, axis=-2)
+    acc_im = w[0] * jax.lax.slice_in_dim(xp.im, 0, s, axis=-2)
+    for t in range(1, ntaps):
+        acc_re = acc_re + w[t] * jax.lax.slice_in_dim(xp.re, t, t + s, axis=-2)
+        acc_im = acc_im + w[t] * jax.lax.slice_in_dim(xp.im, t, t + s, axis=-2)
+    return Cplx(acc_re, acc_im)
+
+
+def spectrometer_planes(x: Cplx, window2d, nbins: int,
+                        history: Optional[Cplx] = None
+                        ) -> Tuple[Cplx, Cplx]:
+    """Streaming PFB spectrometer on planes: returns (spectra, new_history).
+    Framing contract identical to ops.pfb.spectrometer_poly_stream."""
+    ntaps = window2d.shape[0]
+    nsamp = x.shape[-1]
+    s = nsamp // nbins
+    batch = x.shape[:-1]
+    rows = creshape(x[..., : s * nbins], (*batch, s, nbins))
+    if ntaps > 1:
+        if history is None:
+            history = zero_history_planes(batch, nbins, ntaps, x.dtype)
+        xp = cconcat([history, rows], axis=-2)
+        new_history = xp[..., -(ntaps - 1):, :]
+    else:
+        xp, new_history = rows, zero_history_planes(batch, nbins, ntaps,
+                                                    x.dtype)
+    fir = pfb_fir_planes(xp, window2d)
+    return cfft.fft(fir), new_history
+
+
+def fstc_rotate_planes(spectra: Cplx, delays, bandwidth, frequency) -> Cplx:
+    """Per-channel FSTC phase ramp exp(+2 pi j f_RF d_c) (see
+    ops.xengine.fstc_rotate; effex.py:516-520 contract)."""
+    nbins = spectra.shape[-1]
+    freqs = jnp.asarray(
+        (np.fft.fftfreq(nbins, d=1.0 / bandwidth) + frequency
+         ).astype(np.float32))
+    phase = (2.0 * np.pi) * freqs[None, :] \
+        * jnp.asarray(delays, jnp.float32)[:, None]
+    rot = cexp(phase)  # [nch, nbins]
+    rot = Cplx(rot.re[:, None, :], rot.im[:, None, :])
+    return cmul(spectra, rot)
+
+
+def xcorr_baselines_planes(spectra: Cplx, pairs) -> Cplx:
+    """All-baseline frame-averaged cross power, fftshifted
+    (ops.xengine.xcorr_baselines parity)."""
+    pairs = jnp.asarray(pairs)
+    gp = ctake(spectra, pairs[:, 0], axis=0)
+    gq = ctake(spectra, pairs[:, 1], axis=0)
+    xps = cmean(cmulconj(gp, gq), axis=-2)
+    return cfftshift(xps, axes=-1)
+
+
+def estimate_delay_planes(iq0: Cplx, iq1: Cplx, rate):
+    """Sub-sample delay estimate on planes (ops.delay.estimate_delay_gaussian
+    parity: pad-2n FFT xcorr, fftshift, argmax, 3-pt Gaussian interp with
+    edge clamping)."""
+    n = iq0.shape[-1]
+    f0 = cfft.fft(cpad_last(iq0, n))
+    f1 = cfft.fft(cpad_last(iq1, n))
+    xc = cfft.ifft(cmulconj(f0, f1))
+    mag2 = jnp.fft.fftshift(abs2(xc), axes=-1)
+    imax = jnp.argmax(mag2, axis=-1)
+    ic = jnp.clip(imax, 1, 2 * n - 2)
+    m_prev = jnp.take_along_axis(mag2, (ic - 1)[..., None], axis=-1)[..., 0]
+    m_best = jnp.take_along_axis(mag2, ic[..., None], axis=-1)[..., 0]
+    m_next = jnp.take_along_axis(mag2, (ic + 1)[..., None], axis=-1)[..., 0]
+    tiny = jnp.finfo(mag2.dtype).tiny
+    # log|x| = 0.5*log|x|^2 — constant 0.5 cancels in the ratio
+    lp = jnp.log(jnp.maximum(m_prev, tiny))
+    lb = jnp.log(jnp.maximum(m_best, tiny))
+    ln = jnp.log(jnp.maximum(m_next, tiny))
+    denom = lp - 2.0 * lb + ln
+    delta = jnp.where(jnp.abs(denom) > 0.0,
+                      0.5 * (lp - ln) / jnp.where(denom == 0.0, 1.0, denom),
+                      0.0)
+    lag = n - (ic.astype(jnp.float32) + delta)
+    return lag / rate

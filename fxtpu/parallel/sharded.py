@@ -12,8 +12,8 @@ TPU-native equivalent):
   2. **Halo exchange.**  Frame ``k`` needs rows ``k-ntaps+1..k``, so each
      device sends its trailing ``ntaps-1`` rows to its right neighbor
      (``lax.ppermute`` over the linearized shard index — (ntaps-1)*nbins
-     complex samples per channel, tiny vs. the data).  Shard 0 consumes the
-     tap history carried from the previous block, preserving streaming
+     samples per channel, tiny vs. the data).  Shard 0 consumes the tap
+     history carried from the previous block, preserving streaming
      continuity across both block and shard boundaries.
   3. **Corner turn.**  ``lax.all_to_all`` over the 'freq' axis converts the
      spectra from frame-sharded to bin-sharded layout — the canonical FX
@@ -25,6 +25,11 @@ TPU-native equivalent):
 Output: visibilities ``[nbl, nbins]`` bin-sharded over 'freq' (fftshift and
 the continuum reduction happen outside the shard_map on the global array),
 plus the new tap history for the next block.
+
+Default impl is 'planes' (dual-plane reals — the only representation this
+TPU backend executes); collectives move a single stacked ``[2, ...]`` array
+so each exchange is one transfer.  The 'complex' impl is kept for CPU
+cross-checks.
 """
 
 from __future__ import annotations
@@ -38,6 +43,9 @@ import numpy as np
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from fxtpu.ops import cfft
+from fxtpu.ops import planes as pl_ops
+from fxtpu.ops.cplx import Cplx, cfftshift, cmean, cmulconj, ctake, stack, unstack
 from fxtpu.ops.pfb import pfb_fir
 from fxtpu.ops.xengine import fstc_rotate, continuum_reduce
 from fxtpu.parallel.mesh import FREQ_AXIS, TIME_AXIS, validate_shapes
@@ -48,13 +56,12 @@ AXES = (TIME_AXIS, FREQ_AXIS)
 def make_sharded_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
                          pairs: np.ndarray, bandwidth: float, frequency: float,
                          mesh: jax.sharding.Mesh, num_samp: int,
-                         dtype=jnp.complex64):
+                         impl: str = "planes"):
     """Build a jitted sharded step: ``(iq [nch, num_samp], delays [nch],
     history [nch, ntaps-1, nbins]) -> (vis, new_history)``.
 
     ``vis`` is ``[nbl, nbins]`` (SPECTRUM) or ``[nbl]`` (CONTINUUM/TEST),
-    fftshifted, matching the single-device path bit-for-bit up to float
-    reduction order.
+    fftshifted, matching the single-device path up to float reduction order.
     """
     ntaps = int(window2d.shape[0])
     if window2d.shape[1] != nbins:
@@ -68,66 +75,119 @@ def make_sharded_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
     pairs_a = jnp.asarray(pairs)
     continuum = mode in ("CONTINUUM", "TEST")
 
-    def local_fx(rows, delays, history):
-        # rows: [nch, S_loc, nbins] local shard; history: full [nch, ntaps-1, nbins]
-        if ntaps > 1:
-            tail = rows[:, -(ntaps - 1):, :]
-            if n_shards > 1:
-                idx = lax.axis_index(AXES)
-                # right-shift the tails one linearized shard; shard 0
-                # receives zeros (no source) and substitutes the carried
-                # block history instead.
-                prev = lax.ppermute(
-                    tail, AXES, [(i, i + 1) for i in range(n_shards - 1)])
-                prev = jnp.where(idx == 0, history.astype(rows.dtype), prev)
-                # new history for the next block = last shard's tail,
-                # replicated via masked psum (tiny).
-                new_hist = lax.psum(
-                    jnp.where(idx == n_shards - 1, tail,
-                              jnp.zeros_like(tail)), AXES)
-            else:
-                prev = history.astype(rows.dtype)
-                new_hist = tail
-            xp = jnp.concatenate([prev, rows], axis=1)
+    def _exchange_halo(rows_stacked, hist_stacked):
+        """rows/hist as single stacked arrays [2|1, nch, S_loc|ntaps-1, nbins]
+        (planes stack both components; complex impl passes [1, ...])."""
+        tail = rows_stacked[:, :, -(ntaps - 1):, :]
+        if n_shards > 1:
+            idx = lax.axis_index(AXES)
+            prev = lax.ppermute(
+                tail, AXES, [(i, i + 1) for i in range(n_shards - 1)])
+            prev = jnp.where(idx == 0, hist_stacked.astype(tail.dtype), prev)
+            new_hist = lax.psum(
+                jnp.where(idx == n_shards - 1, tail, jnp.zeros_like(tail)),
+                AXES)
         else:
-            xp = rows
-            new_hist = history
+            prev = hist_stacked.astype(tail.dtype)
+            new_hist = tail
+        return prev, new_hist
+
+    # ------------------------------------------------------------------
+    if impl == "planes":
+
+        def local_fx(rows: Cplx, delays, history: Cplx):
+            # rows: [nch, S_loc, nbins] planes; history: [nch, ntaps-1, nbins]
+            if ntaps > 1:
+                prev, new_hist = _exchange_halo(stack(rows), stack(history))
+                xp = Cplx(
+                    jnp.concatenate([prev[0], rows.re], axis=1),
+                    jnp.concatenate([prev[1], rows.im], axis=1))
+                new_hist = unstack(new_hist)
+            else:
+                xp, new_hist = rows, history
+            fir = pl_ops.pfb_fir_planes(xp, w2d)
+            spec = cfft.fft(fir)
+            spec = pl_ops.fstc_rotate_planes(spec, delays, bandwidth,
+                                             frequency)
+            if f_sz > 1:
+                # corner turn on one stacked array:
+                # [2, nch, S_loc, nbins] -> [2, nch, S_loc*F, nbins/F]
+                spec = unstack(lax.all_to_all(stack(spec), FREQ_AXIS,
+                                              split_axis=3, concat_axis=2,
+                                              tiled=True))
+            gp = ctake(spec, pairs_a[:, 0], axis=0)
+            gq = ctake(spec, pairs_a[:, 1], axis=0)
+            acc = cmean(cmulconj(gp, gq), axis=1)  # [nbl, nbins_loc]
+            acc = unstack(lax.pmean(stack(acc), TIME_AXIS))
+            return acc, new_hist
+
+        sharded = jax.shard_map(
+            local_fx, mesh=mesh,
+            in_specs=(P(None, AXES, None), P(), P()),
+            out_specs=(P(None, FREQ_AXIS), P()),
+        )
+
+        @jax.jit
+        def step(iq: Cplx, delays, history: Cplx):
+            iq = jax.tree.map(
+                lambda a: lax.with_sharding_constraint(
+                    a, NamedSharding(mesh, P(None, AXES))), iq)
+            iq = pl_ops.dc_remove_planes(iq)
+            rows = jax.tree.map(
+                lambda a: lax.with_sharding_constraint(
+                    a[:, : s_rows * nbins].reshape(a.shape[0], s_rows, nbins),
+                    NamedSharding(mesh, P(None, AXES, None))), iq)
+            vis, new_hist = sharded(rows, jnp.asarray(delays), history)
+            vis = cfftshift(vis, axes=-1)
+            if continuum:
+                vis = Cplx(jnp.mean(vis.re, axis=-1) / bandwidth,
+                           jnp.mean(vis.im, axis=-1) / bandwidth)
+            return vis, new_hist
+
+        return step
+
+    # ------------------------------------------------------------------
+    if impl != "complex":
+        raise ValueError(f"unknown impl {impl}")
+
+    def local_fx_c(rows, delays, history):
+        if ntaps > 1:
+            prev, new_hist = _exchange_halo(rows[None], history[None])
+            xp = jnp.concatenate([prev[0], rows], axis=1)
+            new_hist = new_hist[0]
+        else:
+            xp, new_hist = rows, history
         fir = pfb_fir(xp, w2d)
         spec = jnp.fft.fft(fir, axis=-1)
         spec = fstc_rotate(spec, delays, bandwidth, frequency)
         if f_sz > 1:
-            # corner turn: [nch, S_loc, nbins] -> [nch, S_loc*F, nbins/F]
             spec = lax.all_to_all(spec, FREQ_AXIS, split_axis=2,
                                   concat_axis=1, tiled=True)
         gp = jnp.take(spec, pairs_a[:, 0], axis=0)
         gq = jnp.take(spec, pairs_a[:, 1], axis=0)
-        acc = jnp.mean(gp * jnp.conj(gq), axis=1)  # [nbl, nbins_loc]
-        # Always reduce over 'time' (no-op collective at size 1; also lets
-        # shard_map statically infer the out_specs replication).
+        acc = jnp.mean(gp * jnp.conj(gq), axis=1)
         acc = lax.pmean(acc, TIME_AXIS)
         return acc, new_hist
 
-    sharded = jax.shard_map(
-        local_fx, mesh=mesh,
+    sharded_c = jax.shard_map(
+        local_fx_c, mesh=mesh,
         in_specs=(P(None, AXES, None), P(), P()),
         out_specs=(P(None, FREQ_AXIS), P()),
     )
 
     @jax.jit
-    def step(iq, delays, history):
-        iq = iq.astype(dtype)
+    def step_c(iq, delays, history):
+        iq = iq.astype(jnp.complex64)
         iq = lax.with_sharding_constraint(
             iq, NamedSharding(mesh, P(None, AXES)))
-        # DC-spike removal: subtract the per-channel complex mean
-        # (effex.py:393-395); global mean -> XLA all-reduce over shards.
         iq = iq - jnp.mean(iq, axis=-1, keepdims=True)
         rows = iq[:, : s_rows * nbins].reshape(iq.shape[0], s_rows, nbins)
         rows = lax.with_sharding_constraint(
             rows, NamedSharding(mesh, P(None, AXES, None)))
-        vis, new_hist = sharded(rows, jnp.asarray(delays), history)
+        vis, new_hist = sharded_c(rows, jnp.asarray(delays), history)
         vis = jnp.fft.fftshift(vis, axes=-1)
         if continuum:
             vis = continuum_reduce(vis, bandwidth)
         return vis, new_hist
 
-    return step
+    return step_c

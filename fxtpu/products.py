@@ -52,9 +52,14 @@ def write_metadata(path: str, cfg: CorrelatorConfig):
 
 def append_visibility(fh, vis):
     """Append one block's visibilities: accepts a scalar (continuum, one
-    baseline), a vector (one spectrum row or continuum baselines), or a
-    ``[nbl, nbins]`` matrix (one row per baseline)."""
-    arr = np.asarray(vis)
+    baseline), a vector (one spectrum row or continuum baselines), a
+    ``[nbl, nbins]`` matrix (one row per baseline), or a dual-plane
+    :class:`~fxtpu.ops.cplx.Cplx` of any of those."""
+    from fxtpu.ops.cplx import Cplx, to_complex
+    if isinstance(vis, Cplx):
+        arr = to_complex(vis)
+    else:
+        arr = np.asarray(vis)
     arr = np.atleast_1d(arr).astype(np.complex128)
     if arr.ndim == 1:
         np.savetxt(fh, [arr], delimiter=",")
@@ -117,7 +122,7 @@ class VisibilityWriter:
                 data = self.vis_queue.get_nowait()
             except Empty:
                 return
-            append_visibility(fh, np.asarray(data))
+            append_visibility(fh, data)
             self.rows_written += 1
             fh.flush()
 

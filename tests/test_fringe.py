@@ -16,6 +16,7 @@ import pytest
 
 from fxtpu.config import CorrelatorConfig
 from fxtpu.fx import FxEngine
+from fxtpu.ops.cplx import to_complex
 from fxtpu.post_process import (fit_fringe_envelope, fit_interferometer_model,
                                 fringe_envelope, post_process)
 from fxtpu.sources import NoiseSource
@@ -34,15 +35,15 @@ def sweep():
     # calibrate-on-start consumes the first block (effex.py:351-353),
     # then TEST subtracts the artificial offset (effex.py:578-579)
     blk = src.read_block(cfg.num_samp)
-    d = np.asarray(eng.calibrate(jnp.asarray(blk)), dtype=np.float64)
+    d = np.asarray(eng.calibrate(eng.prepare_block(blk)), dtype=np.float64)
     d[1:] -= cfg.test_delay_offset
     vis = []
     for _ in range(200):
         d[1:] += cfg.test_delay_sweep_step  # effex.py:403-404
         blk = src.read_block(cfg.num_samp)
-        v, hist = eng.step(jnp.asarray(blk),
+        v, hist = eng.step(eng.prepare_block(blk),
                            jnp.asarray(d, dtype=np.float32), hist)
-        vis.append(complex(np.asarray(v)[0]))
+        vis.append(complex(to_complex(v)[0]))
     return cfg, np.asarray(vis)
 
 

@@ -133,3 +133,92 @@ def test_feeder_source_exhaustion_ends_stream(tmp_path):
     f = Feeder(rep, bufs, 512, start_time=0.0, run_time=30.0).start()
     f.join(5.0)
     assert f.blocks_fed == 4
+
+
+# ---------------------------------------------------------------------------
+# native C++ ring buffer (skipped when native/libfxring.so isn't built)
+# ---------------------------------------------------------------------------
+native = pytest.importorskip("fxtpu.runtime.native")
+
+
+@pytest.mark.skipif(not native.native_available(),
+                    reason="native lib not built (make -C native)")
+class TestNativeRing:
+    def test_fifo_seq_and_drops(self):
+        rb = native.NativeRingBuffer(4, (8,), np.complex64, policy="drop")
+        for i in range(4):
+            assert rb.put(np.full(8, i, np.complex64)) == i
+        assert rb.put(np.zeros(8, np.complex64), timeout=0.01) == -1
+        assert rb.drops == 1
+        for i in range(4):
+            seq, blk = rb.get(timeout=0.5)
+            assert seq == i and blk[0] == i
+        rb.close()
+
+    def test_raise_policy_and_close(self):
+        from fxtpu.runtime import BufferFull
+        rb = native.NativeRingBuffer(2, (4,))
+        rb.put(np.zeros(4, np.complex64))
+        rb.put(np.zeros(4, np.complex64))
+        with pytest.raises(BufferFull):
+            rb.put(np.zeros(4, np.complex64), timeout=0.02)
+        rb.close()
+        assert rb.get(timeout=0.1) is not None  # drain
+        assert rb.get(timeout=0.1) is not None
+        assert rb.get(timeout=0.1) is None      # closed-and-drained
+
+    def test_short_block_zero_padded(self):
+        rb = native.NativeRingBuffer(2, (8,))
+        rb.put(np.ones(5, np.complex64))
+        _, blk = rb.get(timeout=0.5)
+        assert np.all(blk[:5] == 1) and np.all(blk[5:] == 0)
+
+    def test_zero_copy_view(self):
+        rb = native.NativeRingBuffer(2, (16,))
+        rb.put(np.arange(16, dtype=np.complex64))
+        seq, view = rb.get_view(timeout=0.5)
+        assert seq == 0 and view[3] == 3
+        rb.release()
+        assert rb.qsize() == 0
+
+    def test_feeder_end_to_end_with_native_rings(self):
+        src = NoiseSource(nchan=2, seed=6)
+        bufs = [native.NativeRingBuffer(32, (1024,)) for _ in range(2)]
+        f = Feeder(src, bufs, 1024, start_time=0.0, run_time=0.2).start()
+        al = BlockAligner(bufs)
+        n = 0
+        while True:
+            blk = al.get(timeout=1.0)
+            if blk is None:
+                break
+            assert blk.shape == (2, 1024)
+            n += 1
+        f.join(2.0)
+        assert n == f.blocks_fed > 0
+
+    def test_sustained_rate_over_100MSps(self):
+        """BASELINE config 4 floor: the ring must sustain >=100 Msamp/s."""
+        import threading
+        import time as _t
+        nblocks, nsamp = 400, 2**17
+        rb = native.NativeRingBuffer(32, (nsamp,))
+        src = np.ones(nsamp, np.complex64)
+
+        def prod():
+            for i in range(nblocks):
+                rb.put(src, timeout=10, seq=i)
+            rb.close()
+
+        t = threading.Thread(target=prod)
+        t0 = _t.time()
+        t.start()
+        got = 0
+        while True:
+            r = rb.get_view(timeout=1)
+            if r is None:
+                break
+            rb.release()
+            got += 1
+        rate = got * nsamp / (_t.time() - t0)
+        assert got == nblocks
+        assert rate > 100e6, f"only {rate/1e6:.0f} Msamp/s"

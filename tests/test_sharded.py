@@ -9,7 +9,12 @@ import pytest
 
 from fxtpu.config import CorrelatorConfig
 from fxtpu.fx import FxEngine
+from fxtpu.ops.cplx import Cplx, to_complex
 from fxtpu.parallel import make_correlator_mesh, validate_shapes
+
+
+def as_c(x):
+    return to_complex(x) if isinstance(x, Cplx) else np.asarray(x)
 
 
 def _cfg(**kw):
@@ -35,9 +40,9 @@ def test_sharded_matches_single_device(t, f, mode):
     mesh = make_correlator_mesh(t, f)
     engN = FxEngine(cfg, mesh=mesh)
     vN, hN = engN.step(iq, delays, engN.fresh_history())
-    np.testing.assert_allclose(np.asarray(vN), np.asarray(v1),
+    np.testing.assert_allclose(as_c(vN), as_c(v1),
                                rtol=5e-4, atol=5e-7)
-    np.testing.assert_allclose(np.asarray(hN), np.asarray(h1),
+    np.testing.assert_allclose(as_c(hN), as_c(h1),
                                rtol=1e-5, atol=1e-7)
 
 
@@ -49,7 +54,7 @@ def test_sharded_nchan8_baselines():
     mesh = make_correlator_mesh(4, 2)
     engN = FxEngine(cfg, mesh=mesh)
     vN, _ = engN.step(iq, delays, engN.fresh_history())
-    np.testing.assert_allclose(np.asarray(vN), np.asarray(v1),
+    np.testing.assert_allclose(as_c(vN), as_c(v1),
                                rtol=5e-4, atol=5e-7)
 
 
@@ -61,7 +66,7 @@ def test_sharded_streaming_history():
     eng1 = FxEngine(cfg)
     engN = FxEngine(cfg, mesh=mesh)
     rng = np.random.default_rng(11)
-    blocks = [jnp.asarray(
+    blocks = [eng1.prepare_block(
         (rng.normal(size=(2, cfg.num_samp))
          + 1j * rng.normal(size=(2, cfg.num_samp))).astype(np.complex64))
         for _ in range(3)]
@@ -70,7 +75,7 @@ def test_sharded_streaming_history():
     for blk in blocks:
         v1, h1 = eng1.step(blk, delays, h1)
         vN, hN = engN.step(blk, delays, hN)
-        np.testing.assert_allclose(np.asarray(vN), np.asarray(v1),
+        np.testing.assert_allclose(as_c(vN), as_c(v1),
                                    rtol=5e-4, atol=5e-7)
 
 
@@ -98,5 +103,5 @@ def test_single_tap_pfb_sharded():
     v1, _ = eng1.step(iq, delays, hist)
     engN = FxEngine(cfg, mesh=make_correlator_mesh(4, 2))
     vN, _ = engN.step(iq, delays, engN.fresh_history())
-    np.testing.assert_allclose(np.asarray(vN), np.asarray(v1),
+    np.testing.assert_allclose(as_c(vN), as_c(v1),
                                rtol=5e-4, atol=5e-7)
