@@ -82,6 +82,13 @@ class CorrelatorConfig:
     test_sweep_step: Optional[float] = None   # default (1/fc)/2, effex.py:154
     test_offset_steps: int = 1600             # offset = step*1600, effex.py:155
 
+    # --- long-integration / durability (SURVEY.md §5.4; none in reference) --
+    integration_blocks: int = 1        # blocks averaged per output row
+    snapshot_every: int = 0            # blocks between state snapshots (0=off)
+    snapshot_path: Optional[str] = None  # default: <output_file>.state.npz
+    resume_from: Optional[str] = None  # snapshot to restore before running
+    profile_dir: Optional[str] = None  # jax.profiler trace directory
+
     def __post_init__(self):
         self.mode = str(self.mode).upper()
         if self.mode not in MODES:

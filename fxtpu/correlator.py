@@ -158,10 +158,21 @@ class Correlator:
         self.kbd_queue: Queue = Queue(1)
         self.writer: Optional[products.VisibilityWriter] = None
         self.blocks_processed = 0
+        self._blocks_consumed = 0  # incl. calibration blocks (resume seek)
 
         # --- TEST mode sweep (effex.py:144-155) ---------------------------
         self.test_delay_sweep_step = config.test_delay_sweep_step
         self.test_delay_offset = config.test_delay_offset
+
+        # --- metrics + long-integration state (SURVEY.md §5.1/§5.4) --------
+        from fxtpu.runtime.metrics import Metrics
+        self.metrics = Metrics()
+        self._accumulator = None      # Cplx running sum over blocks
+        self._accumulated = 0
+        self.snapshot_path = (config.snapshot_path
+                              or self.output_file + ".state.npz")
+        if config.resume_from:
+            self._restore(config.resume_from)
 
     # ------------------------------------------------------------------
     # Properties with validation + source pass-through (effex.py:231-320)
@@ -291,6 +302,16 @@ class Correlator:
     def run_state_machine(self):
         """Run the machine to completion: OFF -> STARTUP -> (CALIBRATE <->
         RUN) -> SHUTDOWN -> done."""
+        from fxtpu.runtime.metrics import profiler_trace
+        with profiler_trace(self.config.profile_dir):
+            self._run_machine()
+        self.logger.info("%s", self.metrics.report())
+        for c, buf in enumerate(self.bufs):
+            if buf.drops:
+                self.logger.warning("channel %d dropped %d blocks", c,
+                                    buf.drops)
+
+    def _run_machine(self):
         warned_full = [False] * self.config.nchan
         while True:
             # user input: 'c' requests recalibration (effex.py:332-336)
@@ -349,23 +370,36 @@ class Correlator:
                 t_xfer = time.time()
                 # split to planes + H2D (pinned-copy analog; complex dtypes
                 # do not exist on this TPU backend)
-                iq = self.engine.prepare_block(block)
+                with self.metrics.stage("h2d"):
+                    iq = self.engine.prepare_block(block)
                 self.logger.debug("host->device transfer took %f s",
                                   time.time() - t_xfer)
+                self.metrics.count("samples_in",
+                                   self.config.nchan * self.num_samp)
 
+                self._blocks_consumed += 1
                 if self.state == "CALIBRATE":
-                    self._calibrate_task(iq)
+                    with self.metrics.stage("calibrate"):
+                        self._calibrate_task(iq)
                     self.state = "RUN"
                 elif self.state == "RUN":
                     if self.mode == "TEST":
                         # artificial delay sweep (effex.py:403-404)
                         self.calibrated_delays[1:] += self.test_delay_sweep_step
                     t_gpu = time.time()
-                    vis = self._run_task(iq)
+                    with self.metrics.stage("fx_step"):
+                        vis = self._run_task(iq)
                     self.logger.debug("device dispatch took %f s",
                                       time.time() - t_gpu)
-                    self.vis_out.put(vis)
                     self.blocks_processed += 1
+                    self.metrics.count("blocks")
+                    if self._integrate(vis):
+                        self.metrics.count("spectra_out")
+                    if (self.config.snapshot_every and
+                            self.blocks_processed
+                            % self.config.snapshot_every == 0):
+                        with self.metrics.stage("snapshot"):
+                            self.snapshot()
             elif self.state == "SHUTDOWN":
                 self.close()
                 break
@@ -430,3 +464,67 @@ class Correlator:
         if self.config.nchan == 2:
             vis = vis[0]  # reference-parity: one row per block
         return vis
+
+    # ------------------------------------------------------------------
+    # Long-integration accumulation + snapshots (SURVEY.md §5.4)
+    # ------------------------------------------------------------------
+    def _integrate(self, vis) -> bool:
+        """Accumulate ``integration_blocks`` block visibilities per output
+        row (default 1 = reference parity: every block is written).
+        Returns True when a row was emitted."""
+        m = self.config.integration_blocks
+        if m <= 1:
+            self.vis_out.put(vis)
+            return True
+        from fxtpu.ops.cplx import Cplx
+        if self._accumulator is None:
+            self._accumulator = vis
+        else:
+            a, v = self._accumulator, vis
+            self._accumulator = (Cplx(a.re + v.re, a.im + v.im)
+                                 if isinstance(v, Cplx) else a + v)
+        self._accumulated += 1
+        if self._accumulated >= m:
+            a = self._accumulator
+            out = (Cplx(a.re / m, a.im / m) if isinstance(a, Cplx)
+                   else a / m)
+            self.vis_out.put(out)
+            self._accumulator = None
+            self._accumulated = 0
+            return True
+        return False
+
+    def snapshot(self, path: Optional[str] = None) -> str:
+        """Write a resumable state snapshot (history, delays, accumulator,
+        block counter)."""
+        from fxtpu.runtime import checkpoint
+        path = path or self.snapshot_path
+        checkpoint.save_state(
+            path, history=self.history, delays=self.calibrated_delays,
+            blocks_processed=self.blocks_processed,
+            accumulator=self._accumulator, accumulated=self._accumulated,
+            meta={"blocks_consumed": np.int64(self._blocks_consumed)})
+        self.logger.debug("state snapshot -> %s", path)
+        return path
+
+    def _restore(self, path: str):
+        from fxtpu.runtime import checkpoint
+        from fxtpu.ops.cplx import to_complex
+        state = checkpoint.load_state(path)
+        hist = state["history"]
+        if self.engine.impl == "planes":
+            self.history = hist
+        else:
+            self.history = jnp.asarray(to_complex(hist))
+        self.calibrated_delays = np.asarray(state["delays"])
+        self.blocks_processed = state["blocks_processed"]
+        self._accumulator = state["accumulator"]
+        self._accumulated = state["accumulated"]
+        # Replay sources seek past the span the snapshotted run consumed
+        # (calibration blocks included).
+        self._blocks_consumed = int(state["meta"].get(
+            "blocks_consumed", self.blocks_processed))
+        if hasattr(self.source, "_pos"):
+            self.source._pos = self._blocks_consumed * self.num_samp
+        self.logger.info("resumed from %s at block %d", path,
+                         self.blocks_processed)

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,8 +38,17 @@ from fxtpu.ops.cplx import Cplx, cmul, conj, cscale
 #: largest direct-DFT factor — one MXU tile edge
 _LEAF = 128
 
-_MM_KW = dict(precision=jax.lax.Precision.HIGHEST,
-              preferred_element_type=jnp.float32)
+# Matmul precision for the DFT stages.  On TPU, f32 matmuls are emulated in
+# bf16 passes: HIGHEST = 6 passes (~1e-7 rel), HIGH = 3 passes (~1e-6 rel).
+# HIGH is the default: an order of magnitude inside the products' SNR bound
+# at ~2x the stage throughput.  Override with FXTPU_FFT_PRECISION.
+_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("FXTPU_FFT_PRECISION", "high").lower()]
+
+_MM_KW = dict(precision=_PRECISION, preferred_element_type=jnp.float32)
 
 
 @functools.lru_cache(maxsize=64)
@@ -76,7 +86,29 @@ def _smooth_factor(n: int) -> int:
 
 
 def _best_factor(n: int) -> int:
-    """Largest factor of n that is <= _LEAF (prefers full MXU tiles)."""
+    """Pick the leaf factor n1 for one Cooley-Tukey level of length n.
+
+    Lane-utilization heuristic: the n1-stage contracts over axis -2 with the
+    *remainder* n2 = n/n1 in the lane (last) dimension, so we want n2 as
+    close to a multiple of 128 as possible:
+
+      * n > LEAF^2   -> n1 = largest factor <= LEAF (remainder stays huge);
+      * LEAF^2 >= n  -> n1 = smallest factor with n/n1 <= LEAF, i.e. the
+        remainder becomes one full-lane direct stage (e.g. 4096 -> 32*128).
+    """
+    if n > _LEAF * _LEAF:
+        for f in range(min(_LEAF, n), 0, -1):
+            if n % f == 0 and f > 1:
+                return f
+        return 1
+    best = None
+    for f in range(2, min(_LEAF, n) + 1):
+        if n % f == 0 and n // f <= _LEAF:
+            best = f
+            break
+    if best is not None:
+        return best
+    # no factoring puts the remainder within one leaf; take the largest
     for f in range(min(_LEAF, n), 0, -1):
         if n % f == 0:
             return f

@@ -1,0 +1,65 @@
+"""Host -> mesh ingest: sharded device placement of IQ blocks.
+
+The reference's ingest is ``gpu_iq[:] = data`` into cuSignal pinned memory
+(``/root/reference/effex/effex.py:109-110,391-392``).  The TPU-native
+equivalents (SURVEY.md §5.8):
+
+  * single process: ``jax.device_put`` with the block's NamedSharding —
+    XLA splits the host buffer straight onto the mesh devices;
+  * multi-host: each host feeds only the shard slices its devices own via
+    ``jax.make_array_from_process_local_data`` — no host ever materializes
+    the global block.
+
+Both paths produce the same global Array, so the sharded FX step is
+oblivious to how many hosts fed it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+from fxtpu.ops.cplx import Cplx
+from fxtpu.parallel.mesh import FREQ_AXIS, TIME_AXIS
+
+
+def block_sharding(mesh: jax.sharding.Mesh) -> jax.sharding.NamedSharding:
+    return jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, (TIME_AXIS, FREQ_AXIS)))
+
+
+def put_block(block: np.ndarray, mesh: Optional[jax.sharding.Mesh]) -> Cplx:
+    """Place one host block ``[nch, num_samp]`` complex64 onto the device /
+    mesh as dual planes.
+
+    Single-host fast path: device_put with the mesh sharding (XLA scatters
+    the buffer).  Under a multi-process runtime, uses
+    make_array_from_process_local_data so each process only touches its
+    local slice of the sample axis.
+    """
+    re = np.ascontiguousarray(block.real, dtype=np.float32)
+    im = np.ascontiguousarray(block.imag, dtype=np.float32)
+    if mesh is None:
+        return Cplx(jax.device_put(re), jax.device_put(im))
+    sharding = block_sharding(mesh)
+    if jax.process_count() == 1:
+        return Cplx(jax.device_put(re, sharding), jax.device_put(im, sharding))
+    # Multi-host: `block` here is this process's LOCAL slice of the sample
+    # axis (the feeder on each host reads only its own span).
+    mk = jax.make_array_from_process_local_data
+    return Cplx(mk(sharding, re), mk(sharding, im))
+
+
+def local_sample_span(mesh: jax.sharding.Mesh, num_samp: int):
+    """The [start, stop) span of the global sample axis this process's
+    devices own — what a multi-host feeder should read from its source."""
+    sharding = block_sharding(mesh)
+    total = mesh.shape[TIME_AXIS] * mesh.shape[FREQ_AXIS]
+    per = num_samp // total
+    addressable = [d for d in mesh.devices.flat
+                   if d.process_index == jax.process_index()]
+    order = {d: i for i, d in enumerate(mesh.devices.flat)}
+    idxs = sorted(order[d] for d in addressable)
+    return idxs[0] * per, (idxs[-1] + 1) * per

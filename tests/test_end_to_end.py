@@ -130,3 +130,62 @@ def test_recalibration_mid_run(tmp_path):
     cor.run_state_machine()
     err_samples = abs(cor.calibrated_delays[1] - 1e-6) * 2.4e6
     assert err_samples < 0.5
+
+
+def test_integration_blocks_accumulation(tmp_path):
+    """integration_blocks=3: three block visibilities average into one
+    output row (SURVEY.md §5.4 long-integration extension)."""
+    src = NoiseSource(nchan=2, seed=12)
+    rec = save_recording(src, str(tmp_path / "rec.npy"), 2**14, 7)
+    cor = run_correlator(tmp_path, source="replay", replay_file=rec,
+                         mode="SPECTRUM", integration_blocks=3)
+    # 7 blocks: 1 calibrate + 6 correlated -> 2 integrated rows
+    assert cor.blocks_processed == 6
+    _, data = load_products(cor.output_file)
+    assert data.shape[0] == 2
+
+
+def test_snapshot_resume_roundtrip(tmp_path):
+    """A resumed run continues the replay exactly where the snapshot was
+    taken: total written rows across both runs equals a single full run."""
+    src = NoiseSource(nchan=2, seed=13)
+    rec = save_recording(src, str(tmp_path / "rec.npy"), 2**14, 8)
+
+    # full single run for the oracle
+    cor_full = run_correlator(tmp_path, source="replay", replay_file=rec,
+                              output_file=str(tmp_path / "full.csv"))
+    _, full = load_products(cor_full.output_file)
+    assert full.shape[0] == 7  # 8 blocks - 1 calibrate
+
+    # run A: snapshot every 2 blocks, then simulate interrupt by a short
+    # replay (only the first 5 blocks available)
+    recA = str(tmp_path / "recA.npy")
+    np.save(recA, np.load(rec)[:, : 5 * 2**14])
+    corA = run_correlator(tmp_path, source="replay", replay_file=recA,
+                          snapshot_every=2,
+                          output_file=str(tmp_path / "a.csv"))
+    assert corA.blocks_processed == 4
+    snap = corA.snapshot_path
+    import os
+    assert os.path.exists(snap)
+
+    # run B: resume from A's snapshot over the FULL recording; disable
+    # calibrate-on-start (delays come from the snapshot)
+    corB = run_correlator(tmp_path, source="replay", replay_file=rec,
+                          calibrate_on_start=False, resume_from=snap,
+                          output_file=str(tmp_path / "b.csv"))
+    _, b = load_products(str(tmp_path / "b.csv"))
+    assert corB.blocks_processed == 7  # continued 4 -> 7
+    # resumed delays match the original calibration
+    assert np.allclose(corB.calibrated_delays, corA.calibrated_delays)
+    # and the resumed rows equal the tail of the full run
+    b = np.atleast_2d(b)
+    np.testing.assert_allclose(b, full[4:], rtol=2e-4, atol=1e-9)
+
+
+def test_metrics_report(tmp_path):
+    cor = run_correlator(tmp_path, mode="CONTINUUM")
+    r = cor.metrics.rates()
+    assert r["samples_per_s"] > 0
+    assert cor.metrics.get("blocks") == cor.blocks_processed
+    assert "fx_step" in cor.metrics.report()
