@@ -26,56 +26,144 @@ REFERENCE_AGGREGATE_SAMPLES_PER_S = 4.8e6  # BASELINE.md implied real-time rate
 
 
 def bench(block_pow: int = 22, nbins: int = 4096, nchan: int = 2,
-          iters: int = 30, warmup: int = 5, mode: str = "SPECTRUM"):
+          iters: int = 30, warmup: int = 5, mode: str = "SPECTRUM",
+          ntaps: int = 4, include_autos: bool = False,
+          blocks_per_call: int = 8):
+    """Steady-state throughput of the fused step.  ``blocks_per_call`` > 1
+    scans K distinct blocks per dispatch (history carried in-graph),
+    amortizing the per-dispatch latency — the production streaming shape."""
     import jax
     import jax.numpy as jnp
+    from jax import tree
 
     from fxtpu.config import CorrelatorConfig
     from fxtpu.fx import FxEngine
 
     num_samp = 2 ** block_pow
     cfg = CorrelatorConfig(mode=mode, nchan=nchan, num_samp=num_samp,
-                           nbins=nbins, clamp_num_samp=False)
+                           nbins=nbins, ntaps=ntaps,
+                           include_autos=include_autos,
+                           clamp_num_samp=False)
     eng = FxEngine(cfg)
     rng = np.random.default_rng(0)
-    iq = eng.prepare_block(
+    k = max(1, blocks_per_call)
+    blocks = [eng.prepare_block(
         (rng.normal(size=(nchan, num_samp)).astype(np.float32)
          + 1j * rng.normal(size=(nchan, num_samp)).astype(np.float32)))
-    delays = jnp.asarray([0.0] * nchan, dtype=jnp.float32)
+        for _ in range(k)]
     history = eng.fresh_history()
 
-    # warmup / compile
-    vis, history = eng.step(iq, delays, history)
+    if k == 1:
+        step, iq = eng.step, blocks[0]
+        delays = jnp.zeros((nchan,), jnp.float32)
+    else:
+        step = eng.multi_step
+        iq = tree.map(lambda *xs: jnp.stack(xs), *blocks)
+        delays = jnp.zeros((k, nchan), jnp.float32)
+
+    vis, history = step(iq, delays, history)
     jax.block_until_ready(vis)
     for _ in range(warmup):
-        vis, history = eng.step(iq, delays, history)
+        vis, history = step(iq, delays, history)
     jax.block_until_ready(vis)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        vis, history = eng.step(iq, delays, history)
+        vis, history = step(iq, delays, history)
     jax.block_until_ready(vis)
     dt = time.perf_counter() - t0
 
-    agg_samples = nchan * num_samp * iters
+    agg_samples = nchan * num_samp * k * iters
     samples_per_s = agg_samples / dt
     frames = num_samp // nbins
-    spectra_per_s = frames * iters / dt
+    spectra_per_s = frames * k * iters / dt
     return {
         "samples_per_s": samples_per_s,
         "spectra_per_s": spectra_per_s,
-        "block_seconds": dt / iters,
+        "block_seconds": dt / (iters * k),
         "num_samp": num_samp,
         "nbins": nbins,
         "nchan": nchan,
     }
 
 
-def main():
+def bench_pipeline(block_pow: int = 20, nbins: int = 4096, nchan: int = 2,
+                   seconds: float = 5.0):
+    """End-to-end host pipeline rate: replayed source -> ring buffers ->
+    aligner -> H2D -> fused step -> CSV rows (the sustained-streaming
+    number, not just the kernel)."""
+    import tempfile
+
     import jax
-    res = bench()
+    import numpy as np
+
+    from fxtpu.config import CorrelatorConfig
+    from fxtpu.correlator import Correlator
+    from fxtpu.sources import NoiseSource, ReplaySource, save_recording
+
+    num_samp = 2 ** block_pow
+    with tempfile.TemporaryDirectory() as d:
+        rec = save_recording(NoiseSource(nchan=nchan, seed=1),
+                             f"{d}/rec.npy", num_samp, 4)
+        cfg = CorrelatorConfig(
+            mode="CONTINUUM", nchan=nchan, num_samp=num_samp, nbins=nbins,
+            run_time=max(seconds, 1), clamp_num_samp=False,
+            loglevel="WARNING", source="replay", replay_file=rec,
+            output_file=f"{d}/vis.csv")
+        cor = Correlator(config=cfg)
+        cor.source.loop = True  # stream the recording for run_time seconds
+        cor.run_state_machine()
+        r = cor.metrics.rates()
+        return {"samples_per_s": r["samples_per_s"],
+                "blocks": cor.blocks_processed}
+
+
+CONFIGS = {
+    # BASELINE.json config 1/headline: 2-ch 4096-bin spectrum correlate
+    "default": dict(block_pow=22, nbins=4096, nchan=2),
+    # config 4: wideband stress — 8192-bin PFB, 32-tap branches
+    "wideband": dict(block_pow=23, nbins=8192, nchan=2, ntaps=32),
+    # config 5: 8-input FX correlator (36 baselines with autos)
+    "nchan8": dict(block_pow=21, nbins=4096, nchan=8, include_autos=True),
+}
+
+
+def main(argv=None):
+    import argparse
+
+    import jax
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="default", choices=sorted(CONFIGS))
+    p.add_argument("--pipeline", action="store_true",
+                   help="measure the end-to-end host pipeline instead of "
+                        "the device step")
+    p.add_argument("--iters", type=int, default=30)
+    args = p.parse_args(argv)
+
+    if args.pipeline:
+        res = bench_pipeline()
+        out = {
+            "metric": "2ch_end_to_end_pipeline_throughput",
+            "value": round(res["samples_per_s"], 1),
+            "unit": "samples/s",
+            "vs_baseline": round(
+                res["samples_per_s"] / REFERENCE_AGGREGATE_SAMPLES_PER_S, 3),
+            "device": str(jax.devices()[0]),
+        }
+        print(json.dumps(out))
+        return
+
+    kw = dict(CONFIGS[args.config])
+    ntaps = kw.pop("ntaps", 4)
+    include_autos = kw.pop("include_autos", False)
+    res = bench(iters=args.iters, ntaps=ntaps, include_autos=include_autos,
+                **kw)
+    name = ("2ch_4096bin_pfb_fft_x_aggregate_throughput"
+            if args.config == "default"
+            else f"{args.config}_pfb_fft_x_aggregate_throughput")
     out = {
-        "metric": "2ch_4096bin_pfb_fft_x_aggregate_throughput",
+        "metric": name,
         "value": round(res["samples_per_s"], 1),
         "unit": "samples/s",
         "vs_baseline": round(

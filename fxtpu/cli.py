@@ -78,6 +78,16 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Save figures to this path instead of showing.")
     parser.add_argument("--no_keyboard", action="store_true",
                         help="Disable the interactive 'c'-to-recalibrate key.")
+    parser.add_argument("--blocks_per_dispatch", default=1, type=int,
+                        help="Blocks correlated per device dispatch "
+                             "(scanned in one executable; amortizes "
+                             "dispatch latency for sustained streaming).")
+    parser.add_argument("--integration_blocks", default=1, type=int,
+                        help="Blocks averaged per output row.")
+    parser.add_argument("--snapshot_every", default=0, type=int,
+                        help="Blocks between resumable state snapshots.")
+    parser.add_argument("--resume_from", default=None, type=str,
+                        help="Resume from a state snapshot (.npz).")
     return parser
 
 
@@ -105,6 +115,10 @@ def main(argv=None):
         mesh_time=args.mesh_time,
         mesh_freq=args.mesh_freq,
         keyboard_control=not args.no_keyboard,
+        blocks_per_dispatch=args.blocks_per_dispatch,
+        integration_blocks=args.integration_blocks,
+        snapshot_every=args.snapshot_every,
+        resume_from=args.resume_from,
     )
 
     mesh = None

@@ -82,6 +82,13 @@ class CorrelatorConfig:
     test_sweep_step: Optional[float] = None   # default (1/fc)/2, effex.py:154
     test_offset_steps: int = 1600             # offset = step*1600, effex.py:155
 
+    # --- dispatch batching ---------------------------------------------------
+    # Blocks correlated per device dispatch (lax.scan in one executable).
+    # 1 = reference-style per-block dispatch; >1 amortizes dispatch latency
+    # for sustained streaming (the remainder at end-of-run falls back to
+    # single-block steps).
+    blocks_per_dispatch: int = 1
+
     # --- long-integration / durability (SURVEY.md §5.4; none in reference) --
     integration_blocks: int = 1        # blocks averaged per output row
     snapshot_every: int = 0            # blocks between state snapshots (0=off)

@@ -367,34 +367,35 @@ class Correlator:
                         time.sleep(0.05)
                     continue
 
-                t_xfer = time.time()
-                # split to planes + H2D (pinned-copy analog; complex dtypes
-                # do not exist on this TPU backend)
-                with self.metrics.stage("h2d"):
-                    iq = self.engine.prepare_block(block)
-                self.logger.debug("host->device transfer took %f s",
-                                  time.time() - t_xfer)
+                self._blocks_consumed += 1
                 self.metrics.count("samples_in",
                                    self.config.nchan * self.num_samp)
-
-                self._blocks_consumed += 1
                 if self.state == "CALIBRATE":
+                    # split to planes + H2D (pinned-copy analog; complex
+                    # dtypes do not exist on this TPU backend)
+                    with self.metrics.stage("h2d"):
+                        iq = self.engine.prepare_block(block)
                     with self.metrics.stage("calibrate"):
                         self._calibrate_task(iq)
                     self.state = "RUN"
                 elif self.state == "RUN":
-                    if self.mode == "TEST":
-                        # artificial delay sweep (effex.py:403-404)
-                        self.calibrated_delays[1:] += self.test_delay_sweep_step
+                    blocks = [block]
+                    # adaptive batching: gather up to blocks_per_dispatch
+                    # aligned blocks for one scanned device dispatch
+                    want = self._dispatch_batch
+                    while len(blocks) < want:
+                        nxt = self.aligner.get(timeout=0.02)
+                        if nxt is None:
+                            break
+                        self._blocks_consumed += 1
+                        self.metrics.count(
+                            "samples_in", self.config.nchan * self.num_samp)
+                        blocks.append(nxt)
                     t_gpu = time.time()
                     with self.metrics.stage("fx_step"):
-                        vis = self._run_task(iq)
+                        self._run_blocks(blocks)
                     self.logger.debug("device dispatch took %f s",
                                       time.time() - t_gpu)
-                    self.blocks_processed += 1
-                    self.metrics.count("blocks")
-                    if self._integrate(vis):
-                        self.metrics.count("spectra_out")
                     if (self.config.snapshot_every and
                             self.blocks_processed
                             % self.config.snapshot_every == 0):
@@ -464,6 +465,50 @@ class Correlator:
         if self.config.nchan == 2:
             vis = vis[0]  # reference-parity: one row per block
         return vis
+
+    @property
+    def _dispatch_batch(self) -> int:
+        if (self.config.blocks_per_dispatch > 1
+                and self.engine.impl == "planes"
+                and self.engine.mesh is None):
+            return self.config.blocks_per_dispatch
+        return 1
+
+    def _emit(self, vis):
+        self.blocks_processed += 1
+        self.metrics.count("blocks")
+        if self._integrate(vis):
+            self.metrics.count("spectra_out")
+
+    def _run_blocks(self, blocks):
+        """Correlate a batch of aligned host blocks: one scanned device
+        dispatch when the batch is full, single steps otherwise."""
+        k = len(blocks)
+        # only the full batch uses the scanned dispatch (each distinct scan
+        # length is a separate compile); remainders take single steps
+        if k == self._dispatch_batch and k > 1:
+            arr = np.stack(blocks)  # [k, nch, num_samp]
+            delays_k = np.repeat(self.calibrated_delays[None], k, axis=0)
+            if self.mode == "TEST":
+                # per-block sweep advance inside the dispatch
+                steps = np.arange(1, k + 1) * self.test_delay_sweep_step
+                delays_k[:, 1:] += steps[:, None]
+                self.calibrated_delays[1:] += k * self.test_delay_sweep_step
+            iq = self.engine.prepare_block(arr)
+            vis, self.history = self.engine.multi_step(
+                iq, jnp.asarray(delays_k, jnp.float32), self.history)
+            for i in range(k):
+                v = vis[i]
+                if self.config.nchan == 2:
+                    v = v[0]
+                self._emit(v)
+            return
+        for b in blocks:
+            if self.mode == "TEST":
+                # artificial delay sweep (effex.py:403-404)
+                self.calibrated_delays[1:] += self.test_delay_sweep_step
+            iq = self.engine.prepare_block(b)
+            self._emit(self._run_task(iq))
 
     # ------------------------------------------------------------------
     # Long-integration accumulation + snapshots (SURVEY.md §5.4)

@@ -52,10 +52,22 @@ def _continuum_planes(vis: Cplx, bandwidth) -> Cplx:
                 jnp.mean(vis.im, axis=-1) / bandwidth)
 
 
+def _resolve_fused(fused, nbins, ntaps, s_rows) -> bool:
+    """'auto' -> currently OFF: on this TPU the XLA scan path outruns the
+    fused Pallas F-stage (measured; see ops/pfb_pallas.py), which remains
+    opt-in via fused=True.  CPU runs the kernel only in slow interpret
+    mode, so tests opt in explicitly."""
+    from fxtpu.ops import pfb_pallas
+    if fused == "auto":
+        fused = False
+    return bool(fused) and pfb_pallas.supported(nbins, ntaps, s_rows)
+
+
 def make_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
                  pairs: np.ndarray, bandwidth: float, frequency: float,
                  num_samp: int, impl: str = "planes",
-                 mesh: Optional[jax.sharding.Mesh] = None):
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 fused="auto"):
     """Build the jitted per-block step:
 
         step(iq [nch, num_samp], delays [nch], history [nch, ntaps-1, nbins])
@@ -80,12 +92,16 @@ def make_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
 
     if impl == "planes":
         w2d = jnp.asarray(window2d, dtype=jnp.float32)
+        use_fused = _resolve_fused(fused, nbins, ntaps, s_rows)
 
-        @jax.jit
-        def step(iq: Cplx, delays, history: Cplx):
-            iq = pl_ops.dc_remove_planes(iq)
-            spec, new_hist = pl_ops.spectrometer_planes(
-                iq, w2d, nbins, history=history)
+        def core(iq: Cplx, delays, history: Cplx):
+            if use_fused:
+                from fxtpu.ops.pfb_pallas import spectrometer_pallas
+                spec, new_hist = spectrometer_pallas(iq, w2d, nbins, history)
+            else:
+                iq = pl_ops.dc_remove_planes(iq)
+                spec, new_hist = pl_ops.spectrometer_planes(
+                    iq, w2d, nbins, history=history)
             spec = pl_ops.fstc_rotate_planes(spec, delays, bandwidth,
                                              frequency)
             vis = pl_ops.xcorr_baselines_planes(spec, pairs_a)
@@ -93,7 +109,7 @@ def make_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
                 vis = _continuum_planes(vis, bandwidth)
             return vis, new_hist
 
-        return step
+        return jax.jit(core)
 
     if impl != "complex":
         raise ValueError(f"unknown impl {impl}")
@@ -120,6 +136,55 @@ def make_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
         return vis, new_hist
 
     return step_c
+
+
+def make_fx_multi_step(*, mode: str, nbins: int, window2d: np.ndarray,
+                       pairs: np.ndarray, bandwidth: float, frequency: float,
+                       num_samp: int, fused="auto"):
+    """K-blocks-per-dispatch variant (planes impl):
+
+        multi(iq [K, nch, num_samp], delays [K, nch], history)
+            -> (vis [K, ...], new_history)
+
+    One ``lax.scan`` carries the PFB tap history block-to-block inside a
+    single XLA executable — on this backend each dispatch costs ~1.4 ms of
+    tunnel latency, so batching K blocks amortizes it K-fold.  Per-block
+    delay vectors keep the TEST-mode sweep expressible inside one dispatch.
+    Results are identical to K sequential single-block steps (asserted in
+    tests/test_planes.py).
+    """
+    ntaps = int(window2d.shape[0])
+    s_rows = num_samp // nbins
+    pairs_a = jnp.asarray(pairs)
+    continuum = mode in ("CONTINUUM", "TEST")
+    w2d = jnp.asarray(window2d, dtype=jnp.float32)
+    use_fused = _resolve_fused(fused, nbins, ntaps, s_rows)
+
+    def core(iq: Cplx, delays, history: Cplx):
+        if use_fused:
+            from fxtpu.ops.pfb_pallas import spectrometer_pallas
+            spec, new_hist = spectrometer_pallas(iq, w2d, nbins, history)
+        else:
+            iq = pl_ops.dc_remove_planes(iq)
+            spec, new_hist = pl_ops.spectrometer_planes(
+                iq, w2d, nbins, history=history)
+        spec = pl_ops.fstc_rotate_planes(spec, delays, bandwidth, frequency)
+        vis = pl_ops.xcorr_baselines_planes(spec, pairs_a)
+        if continuum:
+            vis = _continuum_planes(vis, bandwidth)
+        return vis, new_hist
+
+    @jax.jit
+    def multi(iq: Cplx, delays, history: Cplx):
+        def body(hist, xs):
+            blk, d = xs
+            vis, hist = core(blk, d, hist)
+            return hist, vis
+
+        new_hist, vis = jax.lax.scan(body, history, (iq, delays))
+        return vis, new_hist
+
+    return multi
 
 
 def make_calibrator(*, bandwidth: float, impl: str = "planes"):
@@ -162,18 +227,33 @@ class FxEngine:
 
     def __init__(self, cfg: CorrelatorConfig,
                  mesh: Optional[jax.sharding.Mesh] = None,
-                 impl: str = "planes"):
+                 impl: str = "planes", fused="auto"):
         self.cfg = cfg
         self.mesh = mesh
         self.impl = impl
+        self.fused = fused
         self.window = pfb_window(cfg.ntaps, cfg.nbins, cfg.window)
         self.window2d = self.window.reshape(cfg.ntaps, cfg.nbins)
         self.pairs = baseline_pairs(cfg.nchan, cfg.include_autos)
         self.step = make_fx_step(
             mode=cfg.mode, nbins=cfg.nbins, window2d=self.window2d,
             pairs=self.pairs, bandwidth=cfg.bandwidth, frequency=cfg.frequency,
-            num_samp=cfg.num_samp, impl=impl, mesh=mesh)
+            num_samp=cfg.num_samp, impl=impl, mesh=mesh, fused=fused)
         self.calibrate = make_calibrator(bandwidth=cfg.bandwidth, impl=impl)
+        self._multi_step = None
+
+    @property
+    def multi_step(self):
+        """Lazily-built K-blocks-per-dispatch step (planes, single device)."""
+        if self._multi_step is None:
+            if self.impl != "planes" or self.mesh is not None:
+                raise ValueError("multi_step: planes impl, no mesh")
+            self._multi_step = make_fx_multi_step(
+                mode=self.cfg.mode, nbins=self.cfg.nbins,
+                window2d=self.window2d, pairs=self.pairs,
+                bandwidth=self.cfg.bandwidth, frequency=self.cfg.frequency,
+                num_samp=self.cfg.num_samp, fused=self.fused)
+        return self._multi_step
 
     def fresh_history(self):
         shape = (self.cfg.nchan,)

@@ -73,8 +73,8 @@ def block_sharding(mesh: jax.sharding.Mesh) -> jax.sharding.NamedSharding:
         mesh, jax.sharding.PartitionSpec(None, (TIME_AXIS, FREQ_AXIS)))
 
 
-def validate_shapes(num_samp: int, nbins: int, mesh: jax.sharding.Mesh
-                    ) -> Tuple[int, int]:
+def validate_shapes(num_samp: int, nbins: int, mesh: jax.sharding.Mesh,
+                    ntaps: int = 1) -> Tuple[int, int]:
     """Check divisibility constraints; returns (rows_per_shard, bins_per_shard)."""
     t = mesh.shape[TIME_AXIS]
     f = mesh.shape[FREQ_AXIS]
@@ -84,4 +84,9 @@ def validate_shapes(num_samp: int, nbins: int, mesh: jax.sharding.Mesh
             f"frames per block ({s}) must divide by mesh size {t * f}")
     if nbins % f:
         raise ValueError(f"nbins ({nbins}) must divide by mesh_freq ({f})")
-    return s // (t * f), nbins // f
+    rows = s // (t * f)
+    if rows < ntaps - 1:
+        raise ValueError(
+            f"each shard owns {rows} PFB rows but the tap-history halo "
+            f"needs {ntaps - 1}; use a bigger block or a smaller mesh")
+    return rows, nbins // f

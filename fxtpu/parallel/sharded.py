@@ -69,7 +69,7 @@ def make_sharded_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
     t_sz = mesh.shape[TIME_AXIS]
     f_sz = mesh.shape[FREQ_AXIS]
     n_shards = t_sz * f_sz
-    validate_shapes(num_samp, nbins, mesh)
+    validate_shapes(num_samp, nbins, mesh, ntaps)
     s_rows = num_samp // nbins
     w2d = jnp.asarray(window2d, dtype=jnp.float32)
     pairs_a = jnp.asarray(pairs)

@@ -189,3 +189,73 @@ def test_metrics_report(tmp_path):
     assert r["samples_per_s"] > 0
     assert cor.metrics.get("blocks") == cor.blocks_processed
     assert "fx_step" in cor.metrics.report()
+
+
+def test_blocks_per_dispatch_batching(tmp_path):
+    """Batched (scanned) dispatch produces the same product rows as
+    per-block dispatch over the same recording."""
+    src = NoiseSource(nchan=2, seed=21)
+    rec = save_recording(src, str(tmp_path / "rec.npy"), 2**14, 9)
+    cor1 = run_correlator(tmp_path, source="replay", replay_file=rec,
+                          output_file=str(tmp_path / "one.csv"))
+    corK = run_correlator(tmp_path, source="replay", replay_file=rec,
+                          blocks_per_dispatch=4,
+                          output_file=str(tmp_path / "k.csv"))
+    _, d1 = load_products(str(tmp_path / "one.csv"))
+    _, dK = load_products(str(tmp_path / "k.csv"))
+    assert d1.shape == dK.shape == (8, 2**10)
+    np.testing.assert_allclose(dK, d1, rtol=2e-4, atol=1e-12)
+
+
+def test_blocks_per_dispatch_test_mode_sweep(tmp_path):
+    """TEST-mode sweep advances identically under batched dispatch."""
+    src = NoiseSource(nchan=2, seed=22, snr=100)
+    rec = save_recording(src, str(tmp_path / "rec.npy"), 2**14, 9)
+    kw = dict(source="replay", replay_file=rec, mode="TEST",
+              test_sweep_step=1e-7, test_offset_steps=4)
+    cor1 = run_correlator(tmp_path, output_file=str(tmp_path / "one.csv"),
+                          **kw)
+    corK = run_correlator(tmp_path, blocks_per_dispatch=4,
+                          output_file=str(tmp_path / "k.csv"), **kw)
+    assert np.allclose(cor1.calibrated_delays, corK.calibrated_delays)
+    _, d1 = load_products(str(tmp_path / "one.csv"))
+    _, dK = load_products(str(tmp_path / "k.csv"))
+    np.testing.assert_allclose(np.abs(dK), np.abs(d1), rtol=2e-3)
+
+
+def test_mesh_sharded_correlator_run(tmp_path):
+    """Full state machine with the engine sharded over a 4x2 (time, freq)
+    virtual mesh — products match the single-device run."""
+    from fxtpu.parallel import make_correlator_mesh
+    src = NoiseSource(nchan=2, seed=31)
+    rec = save_recording(src, str(tmp_path / "rec.npy"), 2**16, 5)
+
+    cor1 = run_correlator(tmp_path, num_samp=2**16, source="replay",
+                          replay_file=rec,
+                          output_file=str(tmp_path / "one.csv"))
+
+    cfg = CorrelatorConfig(num_samp=2**16, nbins=2**10, run_time=1,
+                           clamp_num_samp=False, loglevel="WARNING",
+                           source="replay", replay_file=rec,
+                           output_file=str(tmp_path / "mesh.csv"))
+    corM = Correlator(config=cfg, mesh=make_correlator_mesh(4, 2))
+    corM.run_state_machine()
+
+    _, d1 = load_products(str(tmp_path / "one.csv"))
+    _, dM = load_products(str(tmp_path / "mesh.csv"))
+    assert d1.shape == dM.shape == (4, 2**10)
+    np.testing.assert_allclose(dM, d1, rtol=1e-3, atol=1e-11)
+    assert np.allclose(cor1.calibrated_delays, corM.calibrated_delays,
+                       atol=1e-9)
+
+
+def test_cli_mesh_run(tmp_path):
+    from fxtpu.cli import main
+    out = str(tmp_path / "cli_mesh.csv")
+    cor = main(["--time", "1", "--mode", "spectrum",
+                "--num_samp", "65536", "--resolution", "1024",
+                "--mesh_time", "4", "--mesh_freq", "2",
+                "--omit_plot", "--no_keyboard", "--output", out,
+                "-L", "ERROR"])
+    _, data = load_products(out)
+    assert data.shape[-1] == 1024

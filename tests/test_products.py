@@ -101,3 +101,21 @@ def test_visibility_writer_thread(tmp_csv):
     assert w.rows_written == 5
     _, data = products.load_products(tmp_csv)
     assert data.shape == (5,)
+
+
+def test_reads_reference_written_file(tmp_path):
+    """A CSV written the way the REFERENCE writes it (no sweep_step field,
+    reference header order — effex.py:671-684) loads through our reader."""
+    path = str(tmp_path / "ref.csv")
+    nbins, bw, fc = 64, 2.4e6, 1.4204e9
+    with open(path, "w") as fh:
+        fh.write("run_time:60,bandwidth:2400000.0,frequency:1420400000.0,"
+                 "num_samp:262144,resolution:64,gain:49.6,mode:SPECTRUM\n")
+        freqs = np.fft.fftshift(np.fft.fftfreq(nbins, d=1 / bw)) + fc
+        np.savetxt(fh, [freqs], delimiter=",")
+        vis = (np.arange(nbins) + 1j).astype(np.complex128)
+        np.savetxt(fh, [vis], delimiter=",")
+    md, data = products.load_products(path)
+    assert md["mode"] == "SPECTRUM" and md["gain"] == "49.6"
+    assert data.shape == (nbins,)
+    np.testing.assert_allclose(data.imag, 1.0)
