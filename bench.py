@@ -99,7 +99,7 @@ def bench_pipeline(block_pow: int = 20, nbins: int = 4096, nchan: int = 2,
 
     from fxtpu.config import CorrelatorConfig
     from fxtpu.correlator import Correlator
-    from fxtpu.sources import NoiseSource, ReplaySource, save_recording
+    from fxtpu.sources import NoiseSource, save_recording
 
     num_samp = 2 ** block_pow
     with tempfile.TemporaryDirectory() as d:

@@ -10,10 +10,6 @@ string truthy — SURVEY.md §2.4).
 from __future__ import annotations
 
 import argparse
-import sys
-import time
-
-import numpy as np
 
 from fxtpu.config import CorrelatorConfig
 

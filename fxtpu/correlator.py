@@ -34,8 +34,7 @@ import logging
 import sys
 import threading
 import time
-import traceback
-from queue import Empty, Queue
+from queue import Queue
 from typing import Optional
 
 import numpy as np
@@ -47,7 +46,6 @@ from fxtpu.config import MODES, STATES, CorrelatorConfig
 from fxtpu.fx import FxEngine
 from fxtpu import products
 from fxtpu.runtime.feeder import BlockAligner, Feeder
-from fxtpu.runtime.ringbuffer import RingBuffer
 from fxtpu.sources import make_source
 from fxtpu.sources.base import Source
 

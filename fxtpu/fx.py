@@ -23,7 +23,6 @@ same call signature.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

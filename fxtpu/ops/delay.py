@@ -21,8 +21,6 @@ Differences from the reference (deliberate, see SURVEY.md §2.4):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -17,8 +17,8 @@ import numpy as np
 
 from fxtpu.ops import cfft
 from fxtpu.ops.cplx import (Cplx, abs2, cconcat, cexp, cfftshift, cmean,
-                            cmul, cmulconj, cpad_last, creshape, cscale,
-                            ctake, czeros)
+                            cmul, cmulconj, cpad_last, creshape, ctake,
+                            czeros)
 
 __all__ = [
     "zero_history_planes", "pfb_fir_planes", "spectrometer_planes",

@@ -20,8 +20,6 @@ frequency-domain phase gradient (Thompson/Moran/Swenson 3rd ed. p.364).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

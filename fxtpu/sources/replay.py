@@ -13,7 +13,7 @@ Also provides :func:`save_recording` so any :class:`~fxtpu.sources.base.Source`
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Union
+from typing import Optional, Sequence, Union
 
 import numpy as np
 
