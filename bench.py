@@ -28,7 +28,9 @@ REFERENCE_AGGREGATE_SAMPLES_PER_S = 4.8e6  # BASELINE.md implied real-time rate
 def bench(block_pow: int = 22, nbins: int = 4096, nchan: int = 2,
           iters: int = 30, warmup: int = 5, mode: str = "SPECTRUM",
           ntaps: int = 4, include_autos: bool = False,
-          blocks_per_call: int = 8):
+          blocks_per_call: int = 16):
+    # measured on v5e: 2^22-sample blocks, 16 per dispatch is the sweet
+    # spot (6.72 GS/s; 2^23 blocks regress to 3.2, K=8 gives 6.63)
     """Steady-state throughput of the fused step.  ``blocks_per_call`` > 1
     scans K distinct blocks per dispatch (history carried in-graph),
     amortizing the per-dispatch latency — the production streaming shape."""
