@@ -25,12 +25,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 REFERENCE_AGGREGATE_SAMPLES_PER_S = 4.8e6  # BASELINE.md implied real-time rate
 
 
-def bench(block_pow: int = 22, nbins: int = 4096, nchan: int = 2,
+def bench(block_pow: int = 21, nbins: int = 4096, nchan: int = 2,
           iters: int = 30, warmup: int = 5, mode: str = "SPECTRUM",
           ntaps: int = 4, include_autos: bool = False,
-          blocks_per_call: int = 16):
-    # measured on v5e: 2^22-sample blocks, 16 per dispatch is the sweet
-    # spot (6.72 GS/s; 2^23 blocks regress to 3.2, K=8 gives 6.63)
+          blocks_per_call: int = 128):
+    # measured on v5e: 2^21-sample blocks x 128 per dispatch = 9.95 GS/s
+    # (the per-iteration working set fits VMEM better than 2^22 blocks:
+    # 2^22/K=16 gives 6.93, 2^21/K=64 gives 9.17; 2^21/K=256 OOMs at the
+    # 8.6 GB stacked input)
     """Steady-state throughput of the fused step.  ``blocks_per_call`` > 1
     scans K distinct blocks per dispatch (history carried in-graph),
     amortizing the per-dispatch latency — the production streaming shape."""
@@ -122,11 +124,13 @@ def bench_pipeline(block_pow: int = 20, nbins: int = 4096, nchan: int = 2,
 
 CONFIGS = {
     # BASELINE.json config 1/headline: 2-ch 4096-bin spectrum correlate
-    "default": dict(block_pow=22, nbins=4096, nchan=2),
+    "default": dict(block_pow=21, nbins=4096, nchan=2),
     # config 4: wideband stress — 8192-bin PFB, 32-tap branches
-    "wideband": dict(block_pow=23, nbins=8192, nchan=2, ntaps=32),
+    "wideband": dict(block_pow=23, nbins=8192, nchan=2, ntaps=32,
+                     blocks_per_call=16),
     # config 5: 8-input FX correlator (36 baselines with autos)
-    "nchan8": dict(block_pow=21, nbins=4096, nchan=8, include_autos=True),
+    "nchan8": dict(block_pow=21, nbins=4096, nchan=8, include_autos=True,
+                   blocks_per_call=32),
 }
 
 
@@ -157,10 +161,7 @@ def main(argv=None):
         return
 
     kw = dict(CONFIGS[args.config])
-    ntaps = kw.pop("ntaps", 4)
-    include_autos = kw.pop("include_autos", False)
-    res = bench(iters=args.iters, ntaps=ntaps, include_autos=include_autos,
-                **kw)
+    res = bench(iters=args.iters, **kw)
     name = ("2ch_4096bin_pfb_fft_x_aggregate_throughput"
             if args.config == "default"
             else f"{args.config}_pfb_fft_x_aggregate_throughput")
