@@ -23,6 +23,7 @@ same call signature.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -30,7 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from fxtpu.config import CorrelatorConfig
-from fxtpu.ops.cplx import Cplx, from_complex
+from fxtpu.ops import cfft
+from fxtpu.ops.cplx import Cplx, ctake, from_complex
 from fxtpu.ops.pfb import pfb_fir, zero_history
 from fxtpu.ops import planes as pl_ops
 from fxtpu.ops.window import pfb_window
@@ -60,6 +62,57 @@ def _resolve_fused(fused, nbins, ntaps, s_rows) -> bool:
     if fused == "auto":
         fused = False
     return bool(fused) and pfb_pallas.supported(nbins, ntaps, s_rows)
+
+
+def _make_planes_core(*, mode: str, nbins: int, w2d, pairs_a,
+                      bandwidth: float, frequency: float, use_fused: bool):
+    """The shared planes-impl block body (single-step and scan variants).
+
+    With ``FXTPU_PERMUTED_FFT=1`` (and a smooth plan) the F-stage FFT runs
+    *bin-permuted* (``cfft.fft_permuted``): everything downstream of the
+    FFT is elementwise per bin (FSTC ramp on a permuted frequency table,
+    conjugate multiply, frame mean), so the spectrum's output corner turn
+    is skipped and only the tiny integrated visibility is gathered back to
+    natural+fftshifted bin order (for CONTINUUM/TEST the bin mean is
+    permutation-invariant, so even that gather is dropped).  OFF by
+    default: measured on v5e at the flagship shape, XLA already folds the
+    corner turn into the surrounding fusions and the permuted layout costs
+    ~3% in extra layout-fixup copies (10.02 vs 10.33 GS/s); the machinery
+    remains for plans/backends where the explicit transpose is real."""
+    continuum = mode in ("CONTINUUM", "TEST")
+    permuted = (os.environ.get("FXTPU_PERMUTED_FFT", "0") == "1"
+                and not use_fused and cfft.good_size(nbins))
+    if permuted:
+        perm = cfft.ct_perm(nbins)
+        inv = np.argsort(perm)
+        # natural fftshifted order: out[j] = X[(j - n//2) % n] = vis[inv[...]]
+        shift_gather = jnp.asarray(
+            inv[(np.arange(nbins) - nbins // 2) % nbins])
+
+    def core(iq: Cplx, delays, history: Cplx):
+        if use_fused:
+            from fxtpu.ops.pfb_pallas import spectrometer_pallas
+            spec, new_hist = spectrometer_pallas(iq, w2d, nbins, history)
+            spec = pl_ops.fstc_rotate_planes(spec, delays, bandwidth,
+                                             frequency)
+            vis = pl_ops.xcorr_baselines_planes(spec, pairs_a)
+            if continuum:
+                vis = _continuum_planes(vis, bandwidth)
+            return vis, new_hist
+        iq = pl_ops.dc_remove_planes(iq)
+        spec, new_hist = pl_ops.spectrometer_planes(
+            iq, w2d, nbins, history=history, permuted=permuted)
+        spec = pl_ops.fstc_rotate_planes(spec, delays, bandwidth, frequency,
+                                         perm=perm if permuted else None)
+        vis = pl_ops.xcorr_baselines_planes(spec, pairs_a,
+                                            shift=not permuted)
+        if continuum:
+            vis = _continuum_planes(vis, bandwidth)
+        elif permuted:
+            vis = ctake(vis, shift_gather, axis=-1)
+        return vis, new_hist
+
+    return core
 
 
 def make_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
@@ -92,22 +145,9 @@ def make_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
     if impl == "planes":
         w2d = jnp.asarray(window2d, dtype=jnp.float32)
         use_fused = _resolve_fused(fused, nbins, ntaps, s_rows)
-
-        def core(iq: Cplx, delays, history: Cplx):
-            if use_fused:
-                from fxtpu.ops.pfb_pallas import spectrometer_pallas
-                spec, new_hist = spectrometer_pallas(iq, w2d, nbins, history)
-            else:
-                iq = pl_ops.dc_remove_planes(iq)
-                spec, new_hist = pl_ops.spectrometer_planes(
-                    iq, w2d, nbins, history=history)
-            spec = pl_ops.fstc_rotate_planes(spec, delays, bandwidth,
-                                             frequency)
-            vis = pl_ops.xcorr_baselines_planes(spec, pairs_a)
-            if continuum:
-                vis = _continuum_planes(vis, bandwidth)
-            return vis, new_hist
-
+        core = _make_planes_core(
+            mode=mode, nbins=nbins, w2d=w2d, pairs_a=pairs_a,
+            bandwidth=bandwidth, frequency=frequency, use_fused=use_fused)
         return jax.jit(core)
 
     if impl != "complex":
@@ -158,20 +198,9 @@ def make_fx_multi_step(*, mode: str, nbins: int, window2d: np.ndarray,
     continuum = mode in ("CONTINUUM", "TEST")
     w2d = jnp.asarray(window2d, dtype=jnp.float32)
     use_fused = _resolve_fused(fused, nbins, ntaps, s_rows)
-
-    def core(iq: Cplx, delays, history: Cplx):
-        if use_fused:
-            from fxtpu.ops.pfb_pallas import spectrometer_pallas
-            spec, new_hist = spectrometer_pallas(iq, w2d, nbins, history)
-        else:
-            iq = pl_ops.dc_remove_planes(iq)
-            spec, new_hist = pl_ops.spectrometer_planes(
-                iq, w2d, nbins, history=history)
-        spec = pl_ops.fstc_rotate_planes(spec, delays, bandwidth, frequency)
-        vis = pl_ops.xcorr_baselines_planes(spec, pairs_a)
-        if continuum:
-            vis = _continuum_planes(vis, bandwidth)
-        return vis, new_hist
+    core = _make_planes_core(
+        mode=mode, nbins=nbins, w2d=w2d, pairs_a=pairs_a,
+        bandwidth=bandwidth, frequency=frequency, use_fused=use_fused)
 
     @jax.jit
     def multi(iq: Cplx, delays, history: Cplx):

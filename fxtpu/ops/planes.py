@@ -53,10 +53,15 @@ def pfb_fir_planes(xp: Cplx, window2d) -> Cplx:
 
 
 def spectrometer_planes(x: Cplx, window2d, nbins: int,
-                        history: Optional[Cplx] = None
+                        history: Optional[Cplx] = None,
+                        permuted: bool = False
                         ) -> Tuple[Cplx, Cplx]:
     """Streaming PFB spectrometer on planes: returns (spectra, new_history).
-    Framing contract identical to ops.pfb.spectrometer_poly_stream."""
+    Framing contract identical to ops.pfb.spectrometer_poly_stream.
+
+    ``permuted=True`` returns spectra bins in ``cfft.ct_perm(nbins)`` order
+    (skips the FFT's output corner turn — one less HBM round trip; see
+    cfft.fft_permuted)."""
     ntaps = window2d.shape[0]
     nsamp = x.shape[-1]
     s = nsamp // nbins
@@ -71,16 +76,24 @@ def spectrometer_planes(x: Cplx, window2d, nbins: int,
         xp, new_history = rows, zero_history_planes(batch, nbins, ntaps,
                                                     x.dtype)
     fir = pfb_fir_planes(xp, window2d)
-    return cfft.fft(fir), new_history
+    f = cfft.fft_permuted if permuted else cfft.fft
+    return f(fir), new_history
 
 
-def fstc_rotate_planes(spectra: Cplx, delays, bandwidth, frequency) -> Cplx:
+def fstc_rotate_planes(spectra: Cplx, delays, bandwidth, frequency,
+                       perm: Optional[np.ndarray] = None) -> Cplx:
     """Per-channel FSTC phase ramp exp(+2 pi j f_RF d_c) (see
-    ops.xengine.fstc_rotate; effex.py:516-520 contract)."""
+    ops.xengine.fstc_rotate; effex.py:516-520 contract).
+
+    ``perm``: bin permutation of the spectra layout (``cfft.ct_perm``) when
+    the F-stage used :func:`~fxtpu.ops.cfft.fft_permuted` — the ramp is
+    evaluated on the matching permuted RF frequency table (host-side)."""
     nbins = spectra.shape[-1]
-    freqs = jnp.asarray(
-        (np.fft.fftfreq(nbins, d=1.0 / bandwidth) + frequency
-         ).astype(np.float32))
+    fr = (np.fft.fftfreq(nbins, d=1.0 / bandwidth) + frequency
+          ).astype(np.float32)
+    if perm is not None:
+        fr = fr[perm]
+    freqs = jnp.asarray(fr)
     phase = (2.0 * np.pi) * freqs[None, :] \
         * jnp.asarray(delays, jnp.float32)[:, None]
     rot = cexp(phase)  # [nch, nbins]
@@ -88,14 +101,16 @@ def fstc_rotate_planes(spectra: Cplx, delays, bandwidth, frequency) -> Cplx:
     return cmul(spectra, rot)
 
 
-def xcorr_baselines_planes(spectra: Cplx, pairs) -> Cplx:
+def xcorr_baselines_planes(spectra: Cplx, pairs, shift: bool = True) -> Cplx:
     """All-baseline frame-averaged cross power, fftshifted
-    (ops.xengine.xcorr_baselines parity)."""
+    (ops.xengine.xcorr_baselines parity).  ``shift=False`` skips the
+    fftshift (permuted-bin pipelines reorder the tiny integrated
+    visibility in one final gather instead)."""
     pairs = jnp.asarray(pairs)
     gp = ctake(spectra, pairs[:, 0], axis=0)
     gq = ctake(spectra, pairs[:, 1], axis=0)
     xps = cmean(cmulconj(gp, gq), axis=-2)
-    return cfftshift(xps, axes=-1)
+    return cfftshift(xps, axes=-1) if shift else xps
 
 
 def estimate_delay_planes(iq0: Cplx, iq1: Cplx, rate):

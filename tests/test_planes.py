@@ -46,6 +46,25 @@ def test_cfft_batched(rng):
     np.testing.assert_allclose(got, np.fft.fft(x, axis=-1), atol=1e-4)
 
 
+@pytest.mark.parametrize("n", [128, 512, 4096, 2**15])
+def test_cfft_permuted_matches_fft(rng, n):
+    """fft_permuted(x)[pos] == fft(x)[ct_perm(n)[pos]], and ct_perm is a
+    true permutation of range(n)."""
+    perm = cfft.ct_perm(n)
+    assert sorted(perm.tolist()) == list(range(n))
+    x = (rng.normal(size=(3, n)) + 1j * rng.normal(size=(3, n))
+         ).astype(np.complex64)
+    want = to_complex(cfft.fft(from_complex(x)))
+    got = to_complex(cfft.fft_permuted(from_complex(x)))
+    np.testing.assert_allclose(got, want[..., perm],
+                               atol=3e-6 * np.abs(want).max())
+
+
+def test_cfft_permuted_rejects_bluestein():
+    with pytest.raises(ValueError):
+        cfft.fft_permuted(from_complex(np.ones(4099, np.complex64)))
+
+
 def test_cfft_roundtrip(rng):
     x = (rng.normal(size=4096) + 1j * rng.normal(size=4096)
          ).astype(np.complex64)
@@ -122,6 +141,30 @@ def test_fx_step_planes_matches_complex(mode, nchan):
                                atol=2e-4 * scale)
     np.testing.assert_allclose(to_complex(hist_p), np.asarray(hist_c),
                                atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["SPECTRUM", "CONTINUUM"])
+def test_permuted_pipeline_matches_default(monkeypatch, rng, mode):
+    """FXTPU_PERMUTED_FFT=1 (bin-permuted F-stage, final tiny gather) gives
+    the same visibilities and history as the default pipeline."""
+    cfg = CorrelatorConfig(mode=mode, num_samp=2**14, nbins=512,
+                           clamp_num_samp=False)
+    block = (rng.normal(size=(2, cfg.num_samp))
+             + 1j * rng.normal(size=(2, cfg.num_samp))).astype(np.complex64)
+    delays = jnp.asarray([0.0, 3.7e-7], jnp.float32)
+
+    eng = FxEngine(cfg)
+    vis, hist = eng.step(eng.prepare_block(block), delays,
+                         eng.fresh_history())
+    monkeypatch.setenv("FXTPU_PERMUTED_FFT", "1")
+    eng_p = FxEngine(cfg)
+    vis_p, hist_p = eng_p.step(eng_p.prepare_block(block), delays,
+                               eng_p.fresh_history())
+    scale = np.abs(to_complex(vis)).max()
+    np.testing.assert_allclose(to_complex(vis_p), to_complex(vis),
+                               atol=1e-5 * scale)
+    np.testing.assert_allclose(to_complex(hist_p), to_complex(hist),
+                               atol=1e-6)
 
 
 def test_calibrator_planes_matches_complex(rng):
