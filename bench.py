@@ -91,11 +91,14 @@ def bench(block_pow: int = 21, nbins: int = 4096, nchan: int = 2,
     }
 
 
-def bench_pipeline(block_pow: int = 20, nbins: int = 4096, nchan: int = 2,
-                   seconds: float = 5.0):
+def bench_pipeline(block_pow: int = 21, nbins: int = 4096, nchan: int = 2,
+                   seconds: float = 12.0, blocks_per_dispatch: int = 8):
     """End-to-end host pipeline rate: replayed source -> ring buffers ->
     aligner -> H2D -> fused step -> CSV rows (the sustained-streaming
-    number, not just the kernel)."""
+    number, not just the kernel).  Reports the STEADY-STATE rate — the
+    span after the first device dispatch returns — so one-time XLA
+    compilation (minutes through the remote-compile tunnel on first run)
+    doesn't masquerade as pipeline throughput."""
     import tempfile
 
     import jax
@@ -113,11 +116,35 @@ def bench_pipeline(block_pow: int = 20, nbins: int = 4096, nchan: int = 2,
             mode="CONTINUUM", nchan=nchan, num_samp=num_samp, nbins=nbins,
             run_time=max(seconds, 1), clamp_num_samp=False,
             loglevel="WARNING", source="replay", replay_file=rec,
+            blocks_per_dispatch=blocks_per_dispatch,
+            buffer_chunks=4 * blocks_per_dispatch,
             output_file=f"{d}/vis.csv")
+        # Warm every executable the run will use (single step, K-scan
+        # multi step, calibrator) BEFORE the timed run — step builders are
+        # memoized process-wide, so the measured Correlator reuses these
+        # compiled programs and the feed window isn't eaten by
+        # first-compile stalls (minutes through the remote-compile tunnel).
+        import jax
+        import jax.numpy as jnp
+
+        from fxtpu.fx import FxEngine
+
+        eng = FxEngine(cfg)
+        k = blocks_per_dispatch
+        arr = np.zeros((k, nchan, num_samp), np.complex64)
+        hist = eng.fresh_history()
+        _, hist2 = eng.multi_step(eng.prepare_block(arr),
+                                  jnp.zeros((k, nchan), jnp.float32), hist)
+        _, _ = eng.step(eng.prepare_block(arr[0]),
+                        jnp.zeros((nchan,), jnp.float32), hist)
+        ncal = min(cfg.calibrate_samples, num_samp)
+        jax.block_until_ready(
+            eng.calibrate(eng.prepare_block(arr[0][:, :ncal])))
+
         cor = Correlator(config=cfg)
         cor.source.loop = True  # stream the recording for run_time seconds
         cor.run_state_machine()
-        r = cor.metrics.rates()
+        r = cor.metrics.rates(since="steady")
         return {"samples_per_s": r["samples_per_s"],
                 "blocks": cor.blocks_processed}
 

@@ -84,6 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Blocks between resumable state snapshots.")
     parser.add_argument("--resume_from", default=None, type=str,
                         help="Resume from a state snapshot (.npz).")
+    parser.add_argument("--profile_dir", default=None, type=str,
+                        help="Write a jax.profiler trace of the run here "
+                             "(view with TensorBoard/xprof).")
     return parser
 
 
@@ -115,6 +118,7 @@ def main(argv=None):
         integration_blocks=args.integration_blocks,
         snapshot_every=args.snapshot_every,
         resume_from=args.resume_from,
+        profile_dir=args.profile_dir,
     )
 
     mesh = None

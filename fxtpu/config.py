@@ -54,6 +54,14 @@ class CorrelatorConfig:
     include_autos: bool = False    # include autocorrelation baselines
     calibrate_on_start: bool = True  # reference: first chunk always calibrates
                                      # (STARTUP -> CALIBRATE, effex.py:351-353)
+    calibrate_samples: int = 2**18   # delay-cal window (leading samples of the
+                                     # block; the reference calibrates on its
+                                     # whole 2^18 chunk, effex.py:484).  A
+                                     # fixed window keeps the cal executable's
+                                     # shape stable across block sizes (one
+                                     # compile serves every config — compiles
+                                     # cost ~20 s on this backend) and bounds
+                                     # its FFT size.  Clamped to num_samp.
     dtype: str = "complex64"       # in-graph dtype; TPU-native default is c64
                                    # (reference is complex128 end-to-end,
                                    #  effex.py:109-110; see SURVEY.md "hard parts")

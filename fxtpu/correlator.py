@@ -144,6 +144,7 @@ class Correlator:
         ]
         self.aligner = BlockAligner(self.bufs)
         self.feeder: Optional[Feeder] = None
+        self.stager = None  # DeviceStager, started on first RUN entry
 
         # --- compute engine (F+X, device side) ---------------------------
         self.engine = FxEngine(config, mesh=mesh)
@@ -286,6 +287,9 @@ class Correlator:
 
     def close(self):
         """Release the source (``sdr.close()`` analog, ``effex.py:176-180``)."""
+        stager = getattr(self, "stager", None)
+        if stager is not None:
+            stager.stop()
         feeder = getattr(self, "feeder", None)
         if feeder is not None:
             feeder.stop()
@@ -338,10 +342,17 @@ class Correlator:
                 self.state = "STARTUP"
             elif self.state == "STARTUP":
                 self._startup_task()
-                self.state = ("CALIBRATE" if self.config.calibrate_on_start
-                              else "RUN")
+                if self.config.calibrate_on_start:
+                    self.state = "CALIBRATE"
+                else:
+                    self.state = "RUN"
+                    self._maybe_start_stager()
             elif self.state in ("CALIBRATE", "RUN"):
                 if time.time() < self.start_time:
+                    continue
+                if self.stager is not None:
+                    if not self._staged_iteration():
+                        break
                     continue
                 t_fetch = time.time()
                 block = self.aligner.get(timeout=1.0)
@@ -376,29 +387,15 @@ class Correlator:
                     with self.metrics.stage("calibrate"):
                         self._calibrate_task(iq)
                     self.state = "RUN"
+                    self._maybe_start_stager()
                 elif self.state == "RUN":
-                    blocks = [block]
-                    # adaptive batching: gather up to blocks_per_dispatch
-                    # aligned blocks for one scanned device dispatch
-                    want = self._dispatch_batch
-                    while len(blocks) < want:
-                        nxt = self.aligner.get(timeout=0.02)
-                        if nxt is None:
-                            break
-                        self._blocks_consumed += 1
-                        self.metrics.count(
-                            "samples_in", self.config.nchan * self.num_samp)
-                        blocks.append(nxt)
                     t_gpu = time.time()
                     with self.metrics.stage("fx_step"):
-                        self._run_blocks(blocks)
+                        self._run_blocks([block])
+                    self.metrics.mark_once("steady")
                     self.logger.debug("device dispatch took %f s",
                                       time.time() - t_gpu)
-                    if (self.config.snapshot_every and
-                            self.blocks_processed
-                            % self.config.snapshot_every == 0):
-                        with self.metrics.stage("snapshot"):
-                            self.snapshot()
+                    self._maybe_snapshot()
             elif self.state == "SHUTDOWN":
                 self.close()
                 break
@@ -446,8 +443,16 @@ class Correlator:
 
     def _calibrate_task(self, iq):
         """Estimate per-channel delays from the current block
-        (``effex.py:476-487``).  Assumes a flat-PSD noise-like input."""
+        (``effex.py:476-487``).  Assumes a flat-PSD noise-like input.
+
+        Estimation uses the leading ``calibrate_samples`` of the block (the
+        reference's whole chunk is 2^18 — the default window — so this IS
+        the reference behavior at reference shapes); the fixed window keeps
+        one compiled cal executable valid for every block size."""
         self.logger.debug("Starting calibration")
+        ncal = min(self.config.calibrate_samples, self.num_samp)
+        if ncal < self.num_samp:
+            iq = jax.tree.map(lambda a: a[..., :ncal], iq)
         delays = np.asarray(self.engine.calibrate(iq), dtype=np.float64)
         if self.mode == "TEST":
             delays[1:] -= self.test_delay_offset  # effex.py:578-579
@@ -485,21 +490,8 @@ class Correlator:
         # only the full batch uses the scanned dispatch (each distinct scan
         # length is a separate compile); remainders take single steps
         if k == self._dispatch_batch and k > 1:
-            arr = np.stack(blocks)  # [k, nch, num_samp]
-            delays_k = np.repeat(self.calibrated_delays[None], k, axis=0)
-            if self.mode == "TEST":
-                # per-block sweep advance inside the dispatch
-                steps = np.arange(1, k + 1) * self.test_delay_sweep_step
-                delays_k[:, 1:] += steps[:, None]
-                self.calibrated_delays[1:] += k * self.test_delay_sweep_step
-            iq = self.engine.prepare_block(arr)
-            vis, self.history = self.engine.multi_step(
-                iq, jnp.asarray(delays_k, jnp.float32), self.history)
-            for i in range(k):
-                v = vis[i]
-                if self.config.nchan == 2:
-                    v = v[0]
-                self._emit(v)
+            self._dispatch_multi(self.engine.prepare_block(np.stack(blocks)),
+                                 k)
             return
         for b in blocks:
             if self.mode == "TEST":
@@ -507,6 +499,86 @@ class Correlator:
                 self.calibrated_delays[1:] += self.test_delay_sweep_step
             iq = self.engine.prepare_block(b)
             self._emit(self._run_task(iq))
+
+    def _dispatch_multi(self, iq, k: int):
+        """One scanned K-block dispatch on already-prepared device input."""
+        delays_k = np.repeat(self.calibrated_delays[None], k, axis=0)
+        if self.mode == "TEST":
+            # per-block sweep advance inside the dispatch
+            steps = np.arange(1, k + 1) * self.test_delay_sweep_step
+            delays_k[:, 1:] += steps[:, None]
+            self.calibrated_delays[1:] += k * self.test_delay_sweep_step
+        vis, self.history = self.engine.multi_step(
+            iq, jnp.asarray(delays_k, jnp.float32), self.history)
+        for i in range(k):
+            v = vis[i]
+            if self.config.nchan == 2:
+                v = v[0]
+            self._emit(v)
+
+    # ------------------------------------------------------------------
+    # Async staged ingest (runtime/stager.py): overlaps host gather, plane
+    # split, and H2D with the device dispatches.  Active when
+    # blocks_per_dispatch > 1 on the single-device planes path.
+    # ------------------------------------------------------------------
+    def _maybe_start_stager(self):
+        if self.stager is not None or self._dispatch_batch <= 1:
+            return
+        from fxtpu.runtime.stager import DeviceStager
+        self.stager = DeviceStager(
+            self.aligner, self.engine.prepare_block,
+            batch=self._dispatch_batch, exc_queue=self.exc_queue,
+            feeding=lambda: self.feeder is not None and self.feeder.alive,
+        ).start()
+        self.logger.debug("Started device stager (batch=%d).",
+                          self._dispatch_batch)
+
+    def _staged_iteration(self) -> bool:
+        """One main-loop iteration on the staged path.  Returns False when
+        the machine should stop (SHUTDOWN handled here)."""
+        batch = self.stager.get(timeout=0.1)
+        if batch is None:
+            if not self.stager.done:
+                return True  # nothing staged yet
+            if self.vis_out.empty():
+                self.logger.info(
+                    "IQ processing complete, buffers drained. Shutting down.")
+                self.state = "SHUTDOWN"
+                self.close()
+                return False
+            time.sleep(0.05)
+            return True
+
+        self._blocks_consumed += batch.k
+        self.metrics.count("samples_in",
+                           batch.k * self.config.nchan * self.num_samp)
+        if self.state == "CALIBRATE":
+            # Mid-run recalibration ('c'): estimate from the first staged
+            # block, then correlate the whole batch with the fresh delays.
+            # (The reference discards its calibration chunk; here no
+            # samples are dropped — the cal block is also correlated.)
+            first = batch.iq
+            if batch.stacked:
+                first = jax.tree.map(lambda a: a[0], first)
+            with self.metrics.stage("calibrate"):
+                self._calibrate_task(first)
+            self.state = "RUN"
+        with self.metrics.stage("fx_step"):
+            if batch.stacked:
+                self._dispatch_multi(batch.iq, batch.k)
+            else:
+                if self.mode == "TEST":
+                    self.calibrated_delays[1:] += self.test_delay_sweep_step
+                self._emit(self._run_task(batch.iq))
+        self.metrics.mark_once("steady")
+        self._maybe_snapshot()
+        return True
+
+    def _maybe_snapshot(self):
+        if (self.config.snapshot_every and
+                self.blocks_processed % self.config.snapshot_every == 0):
+            with self.metrics.stage("snapshot"):
+                self.snapshot()
 
     # ------------------------------------------------------------------
     # Long-integration accumulation + snapshots (SURVEY.md §5.4)

@@ -23,6 +23,7 @@ same call signature.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional
 
@@ -215,12 +216,19 @@ def make_fx_multi_step(*, mode: str, nbins: int, window2d: np.ndarray,
     return multi
 
 
+@functools.lru_cache(maxsize=32)
 def make_calibrator(*, bandwidth: float, impl: str = "planes"):
     """Jitted all-channel delay calibration against channel 0.
 
     Returns ``cal(iq) -> delays [nch]`` seconds, ``delays[0] == 0``.
     Blocks are DC-removed first, as the reference calibrates on the
     DC-removed pinned buffers (``effex.py:391-395`` then ``:484``).
+
+    Memoized on (bandwidth, impl): every FxEngine with the same bandwidth
+    shares ONE jitted function, so re-instantiating engines (warmup runs,
+    repeated Correlators in one process) never re-traces or recompiles —
+    on this backend the calibrator's XLA compile costs ~20 s through the
+    remote-compile tunnel and is not served by any persistent cache.
     """
     if impl == "planes":
 
@@ -246,11 +254,29 @@ def make_calibrator(*, bandwidth: float, impl: str = "planes"):
     return cal_c
 
 
+#: Process-wide cache of built (jitted) steps.  jax's in-process executable
+#: cache is keyed on the jitted function OBJECT, so two FxEngines with the
+#: same config would otherwise each pay the full XLA compile (~20-60 s
+#: through this backend's remote-compile tunnel, with no persistent cache).
+#: Keys are the exact scalars the builders close over.
+_STEP_CACHE: dict = {}
+
+
+def _cached_step(kind: str, key: tuple, build):
+    full = (kind, os.environ.get("FXTPU_PERMUTED_FFT", "0"),
+            os.environ.get("FXTPU_FFT_PRECISION", "high"), *key)
+    if full not in _STEP_CACHE:
+        _STEP_CACHE[full] = build()
+    return _STEP_CACHE[full]
+
+
 class FxEngine:
     """Convenience bundle: window + pairs + step + calibrator for a config.
 
     The flagship object benchmarks and __graft_entry__ use; the Correlator
-    state machine drives one of these.
+    state machine drives one of these.  Step/calibrator construction is
+    memoized process-wide (see ``_STEP_CACHE``), so re-instantiating
+    engines with equal configs reuses the compiled executables.
     """
 
     def __init__(self, cfg: CorrelatorConfig,
@@ -263,10 +289,13 @@ class FxEngine:
         self.window = pfb_window(cfg.ntaps, cfg.nbins, cfg.window)
         self.window2d = self.window.reshape(cfg.ntaps, cfg.nbins)
         self.pairs = baseline_pairs(cfg.nchan, cfg.include_autos)
-        self.step = make_fx_step(
+        self._key = (cfg.mode, cfg.nbins, cfg.ntaps, cfg.window, cfg.nchan,
+                     cfg.include_autos, cfg.bandwidth, cfg.frequency,
+                     cfg.num_samp, impl, repr(fused), mesh)
+        self.step = _cached_step("step", self._key, lambda: make_fx_step(
             mode=cfg.mode, nbins=cfg.nbins, window2d=self.window2d,
             pairs=self.pairs, bandwidth=cfg.bandwidth, frequency=cfg.frequency,
-            num_samp=cfg.num_samp, impl=impl, mesh=mesh, fused=fused)
+            num_samp=cfg.num_samp, impl=impl, mesh=mesh, fused=fused))
         self.calibrate = make_calibrator(bandwidth=cfg.bandwidth, impl=impl)
         self._multi_step = None
 
@@ -276,11 +305,13 @@ class FxEngine:
         if self._multi_step is None:
             if self.impl != "planes" or self.mesh is not None:
                 raise ValueError("multi_step: planes impl, no mesh")
-            self._multi_step = make_fx_multi_step(
-                mode=self.cfg.mode, nbins=self.cfg.nbins,
-                window2d=self.window2d, pairs=self.pairs,
-                bandwidth=self.cfg.bandwidth, frequency=self.cfg.frequency,
-                num_samp=self.cfg.num_samp, fused=self.fused)
+            self._multi_step = _cached_step(
+                "multi", self._key, lambda: make_fx_multi_step(
+                    mode=self.cfg.mode, nbins=self.cfg.nbins,
+                    window2d=self.window2d, pairs=self.pairs,
+                    bandwidth=self.cfg.bandwidth,
+                    frequency=self.cfg.frequency,
+                    num_samp=self.cfg.num_samp, fused=self.fused))
         return self._multi_step
 
     def fresh_history(self):

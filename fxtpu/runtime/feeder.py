@@ -80,14 +80,29 @@ class Feeder:
             while time.time() < self.start_time and not self._stop.is_set():
                 time.sleep(min(1e-3, max(self.start_time - time.time(), 0)))
             t0 = time.time()
+            # Live sources lose data on a stalled consumer, so a full ring
+            # times out and raises (reference contract, effex.py:653-659);
+            # on-demand sources (synthetic/replay) get backpressure instead
+            # — retry until space or stop, surviving e.g. a multi-minute
+            # XLA first-compile stall without killing the run.
+            realtime = getattr(self.source, "realtime", True)
             while not self._stop.is_set():
                 block = self.source.read_block(self.num_samp)
                 if block is None:
                     logger.info("Source exhausted; feeder stopping.")
                     break
                 for c, buf in enumerate(self.bufs):
+                    if not realtime:
+                        # wait for space WITHOUT attempting puts (a timed-out
+                        # put counts as a drop — these blocks are never lost)
+                        while buf.full() and not self._stop.is_set():
+                            time.sleep(0.002)
+                        if self._stop.is_set():
+                            break
                     buf.put(block[c], timeout=self.put_timeout,
                             seq=self.blocks_fed)
+                if self._stop.is_set():
+                    break
                 self.blocks_fed += 1
                 if time.time() - t0 > self.run_time:
                     break

@@ -54,6 +54,7 @@ class Metrics:
     def __init__(self):
         self._timers: Dict[str, StageTimer] = {}
         self._counters: Dict[str, float] = {}
+        self._marks: Dict[str, tuple] = {}
         self._lock = threading.Lock()
         self.started_at = time.time()
 
@@ -79,14 +80,31 @@ class Metrics:
     def get(self, name: str) -> float:
         return self._counters.get(name, 0)
 
+    def mark_once(self, name: str):
+        """Snapshot (time, counters) the FIRST time ``name`` is marked —
+        e.g. 'steady' after the first device dispatch returns, so sustained
+        rates exclude compile/warmup."""
+        with self._lock:
+            if name not in self._marks:
+                self._marks[name] = (time.time(), dict(self._counters))
+
     # -- reporting ----------------------------------------------------------
-    def rates(self) -> Dict[str, float]:
-        elapsed = max(time.time() - self.started_at, 1e-9)
+    def rates(self, since: Optional[str] = None) -> Dict[str, float]:
+        """Throughput rates over the whole run, or — with ``since`` naming a
+        :meth:`mark_once` mark — over the steady-state span after it."""
+        t0, base = self.started_at, {}
+        if since is not None and since in self._marks:
+            t0, base = self._marks[since]
+        elapsed = max(time.time() - t0, 1e-9)
+
+        def delta(name):
+            return self.get(name) - base.get(name, 0)
+
         return {
             "elapsed_s": elapsed,
-            "samples_per_s": self.get("samples_in") / elapsed,
-            "blocks_per_s": self.get("blocks") / elapsed,
-            "spectra_per_s": self.get("spectra_out") / elapsed,
+            "samples_per_s": delta("samples_in") / elapsed,
+            "blocks_per_s": delta("blocks") / elapsed,
+            "spectra_per_s": delta("spectra_out") / elapsed,
         }
 
     def report(self) -> str:

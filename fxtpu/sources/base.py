@@ -31,6 +31,13 @@ class Source(abc.ABC):
     #: or None.  RTL-SDRs declare 2.8e6 (``effex.py:252-254``).
     max_stable_bandwidth: Optional[float] = None
 
+    #: True for sources whose samples are lost if not consumed in time
+    #: (live radios).  Non-realtime sources (synthetic, replay) produce on
+    #: demand, so the feeder applies backpressure — blocking on a full ring
+    #: instead of timing out and dying (the reference's 30 s put-timeout
+    #: death at ``effex.py:653-659`` only makes sense for live hardware).
+    realtime: bool = False
+
     def __init__(self, nchan: int, sample_rate: float = 2.4e6,
                  center_freq: float = 1.4204e9, gain: float = 49.6):
         self.nchan = int(nchan)

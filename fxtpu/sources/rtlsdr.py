@@ -35,6 +35,7 @@ class RtlSdrSource(Source):  # pragma: no cover - requires hardware
     ``dithering_enabled`` support for clock-coherent channels."""
 
     max_stable_bandwidth = 2.8e6  # effex.py:252-254
+    realtime = True  # USB stream: unconsumed samples are lost (no backpressure)
 
     def __init__(self, nchan: int = 2, sample_rate: float = 2.4e6,
                  center_freq: float = 1.4204e9, gain: float = 49.6,

@@ -43,6 +43,16 @@ def test_spectrum_run_end_to_end(tmp_path):
     assert np.std(np.unwrap(ph)) < 0.3
 
 
+def test_calibrate_window_smaller_than_block(tmp_path):
+    """calibrate_samples < num_samp: the delay is still recovered within
+    the 0.5-sample oracle from the leading window only (keeps the cal
+    executable's shape fixed across block sizes)."""
+    cor = run_correlator(tmp_path, mode="SPECTRUM", synthetic_delay=2e-6,
+                         calibrate_samples=2**12)
+    err_samples = abs(cor.calibrated_delays[1] - 2e-6) * 2.4e6
+    assert err_samples < 0.5
+
+
 def test_continuum_run_end_to_end(tmp_path):
     cor = run_correlator(tmp_path, mode="CONTINUUM")
     md, data = load_products(cor.output_file)
@@ -104,6 +114,35 @@ def test_cli_end_to_end(tmp_path):
     assert len(np.atleast_1d(data)) >= 1
     err_samples = abs(cor.calibrated_delays[1] - 1e-6) * 2.4e6
     assert err_samples < 0.5
+
+
+def test_recalibration_mid_run_staged(tmp_path):
+    """Mid-run 'c' on the async staged path (blocks_per_dispatch > 1):
+    calibration runs on the first block of the next staged device batch and
+    the batch is still correlated (no samples dropped — documented
+    deviation from the reference, which discards its cal chunk)."""
+    cfg = CorrelatorConfig(num_samp=2**14, nbins=2**10, run_time=1,
+                           clamp_num_samp=False, loglevel="ERROR",
+                           synthetic_delay=1e-6, blocks_per_dispatch=4,
+                           output_file=str(tmp_path / "vis.csv"))
+    cor = Correlator(config=cfg)
+    import threading
+    import time as _time
+
+    def press_c():
+        for _ in range(200):
+            if cor.state == "RUN" and cor.blocks_processed > 0:
+                cor.kbd_queue.put("c")
+                return
+            _time.sleep(0.02)
+
+    threading.Thread(target=press_c, daemon=True).start()
+    cor.run_state_machine()
+    assert cor.stager is not None and cor.stager.done
+    err_samples = abs(cor.calibrated_delays[1] - 1e-6) * 2.4e6
+    assert err_samples < 0.5
+    _, data = load_products(cor.output_file)
+    assert data.shape[0] == cor.blocks_processed >= 4
 
 
 def test_recalibration_mid_run(tmp_path):

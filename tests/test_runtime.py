@@ -123,6 +123,43 @@ def test_feeder_reports_child_exception():
     assert "injected source failure" in excq.get()
 
 
+def test_feeder_backpressure_nonrealtime_survives_full_ring():
+    """A non-realtime source (synthetic/replay) backpressures on a full
+    ring instead of dying with BufferFull: a consumer stalled longer than
+    the put timeout (e.g. an XLA first-compile) still gets every block."""
+    src = NoiseSource(nchan=1, seed=2)
+    assert not src.realtime
+    bufs = [RingBuffer(2, (256,))]
+    f = Feeder(src, bufs, 256, start_time=0.0, run_time=0.5,
+               put_timeout=0.05).start()
+    time.sleep(0.3)               # ring (2 slots) is full, 6x the timeout
+    assert f.alive                # would be dead under the realtime contract
+    got = 0
+    while True:
+        item = bufs[0].get(timeout=0.5)
+        if item is None:
+            break
+        got += 1
+    f.join(2.0)
+    assert got == f.blocks_fed
+    assert bufs[0].drops == 0
+
+
+def test_feeder_realtime_full_ring_raises():
+    """Realtime sources keep the reference contract (effex.py:653-659):
+    a full ring past the put timeout reports through exc_queue and dies."""
+    src = NoiseSource(nchan=1, seed=3)
+    src.realtime = True
+    bufs = [RingBuffer(2, (256,))]
+    excq = Queue()
+    f = Feeder(src, bufs, 256, start_time=0.0, run_time=5.0,
+               exc_queue=excq, put_timeout=0.05).start()
+    f.join(5.0)
+    assert not f.alive
+    assert not excq.empty()
+    assert "BufferFull" in excq.get()
+
+
 def test_feeder_source_exhaustion_ends_stream(tmp_path):
     """Replay-style finite sources end the stream cleanly."""
     from fxtpu.sources import ReplaySource, save_recording
