@@ -153,11 +153,14 @@ CONFIGS = {
     # BASELINE.json config 1/headline: 2-ch 4096-bin spectrum correlate
     "default": dict(block_pow=21, nbins=4096, nchan=2),
     # config 4: wideband stress — 8192-bin PFB, 32-tap branches
-    "wideband": dict(block_pow=23, nbins=8192, nchan=2, ntaps=32,
-                     blocks_per_call=16),
-    # config 5: 8-input FX correlator (36 baselines with autos)
-    "nchan8": dict(block_pow=21, nbins=4096, nchan=8, include_autos=True,
-                   blocks_per_call=32),
+    # (2^21 blocks x64/dispatch: 6.88 GS/s vs 1.98 at 2^23 x16 — same
+    # VMEM-fit effect as the flagship shape)
+    "wideband": dict(block_pow=21, nbins=8192, nchan=2, ntaps=32,
+                     blocks_per_call=64),
+    # config 5: 8-input FX correlator (36 baselines with autos); Gram-matmul
+    # X-stage (5.63 GS/s vs 1.85 with per-pair gathers at this shape)
+    "nchan8": dict(block_pow=20, nbins=4096, nchan=8, include_autos=True,
+                   blocks_per_call=64),
 }
 
 

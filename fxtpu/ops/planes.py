@@ -101,15 +101,51 @@ def fstc_rotate_planes(spectra: Cplx, delays, bandwidth, frequency,
     return cmul(spectra, rot)
 
 
+#: Baseline count at/above which the X-stage switches from per-pair
+#: gathers to the Gram-matrix matmul.  Per-pair materializes two
+#: [nbl, frames, nbins] arrays (HBM traffic grows with nbl); the Gram form
+#: reads the spectrum exactly twice and contracts frames on the MXU
+#: (traffic constant in nbl).  Measured crossover on v5e is low — the
+#: 2-channel single-baseline case keeps the cheap elementwise form.
+_GRAM_MIN_BASELINES = 4
+
+
+def _xcorr_gram(spectra: Cplx, pairs) -> Cplx:
+    """All-pair visibilities via a per-bin Gram matmul.
+
+    G[b, p, q] = sum_s spec[p, s, b] * conj(spec[q, s, b]) — one
+    dot_general with the frame axis contracted and the bin axis batched
+    (complex product expanded over the two real planes: 4 real matmuls),
+    then the requested [nbl] (p, q) entries are gathered from the tiny
+    [nbins, nch, nch] result."""
+    n_frames = spectra.shape[-2]
+    kw = dict(dimension_numbers=(((1,), (1,)), ((2,), (2,))),
+              precision=jax.lax.Precision.HIGH,
+              preferred_element_type=jnp.float32)
+    # [p, s, b] x [q, s, b] -> [b, p, q]
+    rr = jax.lax.dot_general(spectra.re, spectra.re, **kw)
+    ii = jax.lax.dot_general(spectra.im, spectra.im, **kw)
+    ir = jax.lax.dot_general(spectra.im, spectra.re, **kw)
+    ri = jax.lax.dot_general(spectra.re, spectra.im, **kw)
+    g = Cplx((rr + ii) / n_frames, (ir - ri) / n_frames)
+    pairs = jnp.asarray(pairs)
+    sel = ctake(creshape(g, (g.shape[0], -1)),
+                pairs[:, 0] * spectra.shape[0] + pairs[:, 1], axis=-1)
+    return Cplx(sel.re.T, sel.im.T)  # [nbl, nbins]
+
+
 def xcorr_baselines_planes(spectra: Cplx, pairs, shift: bool = True) -> Cplx:
     """All-baseline frame-averaged cross power, fftshifted
     (ops.xengine.xcorr_baselines parity).  ``shift=False`` skips the
     fftshift (permuted-bin pipelines reorder the tiny integrated
     visibility in one final gather instead)."""
     pairs = jnp.asarray(pairs)
-    gp = ctake(spectra, pairs[:, 0], axis=0)
-    gq = ctake(spectra, pairs[:, 1], axis=0)
-    xps = cmean(cmulconj(gp, gq), axis=-2)
+    if len(pairs) >= _GRAM_MIN_BASELINES:
+        xps = _xcorr_gram(spectra, pairs)
+    else:
+        gp = ctake(spectra, pairs[:, 0], axis=0)
+        gq = ctake(spectra, pairs[:, 1], axis=0)
+        xps = cmean(cmulconj(gp, gq), axis=-2)
     return cfftshift(xps, axes=-1) if shift else xps
 
 

@@ -42,7 +42,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from fxtpu.ops import cfft
 from fxtpu.ops import planes as pl_ops
-from fxtpu.ops.cplx import Cplx, cfftshift, cmean, cmulconj, ctake, stack, unstack
+from fxtpu.ops.cplx import Cplx, cfftshift, stack, unstack
 from fxtpu.ops.pfb import pfb_fir
 from fxtpu.ops.xengine import fstc_rotate, continuum_reduce
 from fxtpu.parallel.mesh import FREQ_AXIS, TIME_AXIS, validate_shapes
@@ -112,9 +112,8 @@ def make_sharded_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
                 spec = unstack(lax.all_to_all(stack(spec), FREQ_AXIS,
                                               split_axis=3, concat_axis=2,
                                               tiled=True))
-            gp = ctake(spec, pairs_a[:, 0], axis=0)
-            gq = ctake(spec, pairs_a[:, 1], axis=0)
-            acc = cmean(cmulconj(gp, gq), axis=1)  # [nbl, nbins_loc]
+            # per-pair or Gram-matmul X-stage (pl_ops picks by nbl)
+            acc = pl_ops.xcorr_baselines_planes(spec, pairs_a, shift=False)
             acc = unstack(lax.pmean(stack(acc), TIME_AXIS))
             return acc, new_hist
 
