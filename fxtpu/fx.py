@@ -323,8 +323,16 @@ class FxEngine:
                             jnp.complex64)
 
     def prepare_block(self, block: np.ndarray):
-        """Host block [nch, num_samp] complex64 -> device input form."""
+        """Host block [nch, num_samp] complex64 -> device input form.
+
+        With a mesh, placement goes through the sharded ingest path
+        (fxtpu.parallel.ingest.put_block): device_put with the block's
+        NamedSharding single-host, make_array_from_process_local_data
+        under a multi-process runtime (each host feeds only its span)."""
         if self.impl == "planes":
+            if self.mesh is not None and np.ndim(block) == 2:
+                from fxtpu.parallel.ingest import put_block
+                return put_block(np.asarray(block), self.mesh)
             return from_complex(block)
         return jnp.asarray(block)
 

@@ -55,7 +55,6 @@ def put_block(block: np.ndarray, mesh: Optional[jax.sharding.Mesh]) -> Cplx:
 def local_sample_span(mesh: jax.sharding.Mesh, num_samp: int):
     """The [start, stop) span of the global sample axis this process's
     devices own — what a multi-host feeder should read from its source."""
-    sharding = block_sharding(mesh)
     total = mesh.shape[TIME_AXIS] * mesh.shape[FREQ_AXIS]
     per = num_samp // total
     addressable = [d for d in mesh.devices.flat
