@@ -65,16 +65,22 @@ def bench(block_pow: int = 21, nbins: int = 4096, nchan: int = 2,
         iq = tree.map(lambda *xs: jnp.stack(xs), *blocks)
         delays = jnp.zeros((k, nchan), jnp.float32)
 
+    def sync(x):
+        # block_until_ready does NOT synchronize Pallas-kernel outputs
+        # through this backend's remote-device tunnel (measured: it returns
+        # before execution); a scalar readback does.
+        return float(jnp.sum(tree.leaves(x)[0]))
+
     vis, history = step(iq, delays, history)
-    jax.block_until_ready(vis)
+    sync(vis)
     for _ in range(warmup):
         vis, history = step(iq, delays, history)
-    jax.block_until_ready(vis)
+    sync(vis)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         vis, history = step(iq, delays, history)
-    jax.block_until_ready(vis)
+    sync(vis)
     dt = time.perf_counter() - t0
 
     agg_samples = nchan * num_samp * k * iters

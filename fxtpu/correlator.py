@@ -450,9 +450,11 @@ class Correlator:
         the reference behavior at reference shapes); the fixed window keeps
         one compiled cal executable valid for every block size."""
         self.logger.debug("Starting calibration")
+        # fused-engine blocks arrive pre-framed [nch, S, nbins]: flatten
+        # back to a sample axis before windowing
+        iq = jax.tree.map(lambda a: a.reshape(a.shape[0], -1), iq)
         ncal = min(self.config.calibrate_samples, self.num_samp)
-        if ncal < self.num_samp:
-            iq = jax.tree.map(lambda a: a[..., :ncal], iq)
+        iq = jax.tree.map(lambda a: a[..., : min(ncal, a.shape[-1])], iq)
         delays = np.asarray(self.engine.calibrate(iq), dtype=np.float64)
         if self.mode == "TEST":
             delays[1:] -= self.test_delay_offset  # effex.py:578-579

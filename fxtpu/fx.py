@@ -55,14 +55,47 @@ def _continuum_planes(vis: Cplx, bandwidth) -> Cplx:
 
 
 def _resolve_fused(fused, nbins, ntaps, s_rows) -> bool:
-    """'auto' -> currently OFF: on this TPU the XLA scan path outruns the
-    fused Pallas F-stage (measured; see ops/pfb_pallas.py), which remains
-    opt-in via fused=True.  CPU runs the kernel only in slow interpret
-    mode, so tests opt in explicitly."""
+    """'auto' -> ON for supported SHALLOW-TAP shapes when running on TPU:
+    the fused full-step Pallas kernel (DC+FIR+FFT+X in VMEM, transpose-free
+    split-bf16 stages) measures 18.9 GS/s vs 10.4 for the XLA path at the
+    flagship 2ch/4-tap/4096-bin shape and 14.5 vs 5.7 at 8ch/36-baseline
+    (see ops/pfb_pallas.py) — but at 32 taps the in-kernel FIR and slab
+    dominate and the XLA path wins (5.4 vs 7.1 on the wideband config), so
+    'auto' caps at ntaps <= 8.  CPU runs Pallas only in slow interpret
+    mode, so 'auto' stays off there (tests opt in explicitly).  An explicit
+    fused=True forces the kernel for any supported shape."""
+    import jax
+
     from fxtpu.ops import pfb_pallas
     if fused == "auto":
-        fused = False
+        fused = jax.default_backend() in ("tpu",) and ntaps <= 8
     return bool(fused) and pfb_pallas.supported(nbins, ntaps, s_rows)
+
+
+def _finish_fused(xp: Cplx, delays, pairs_np, nbins: int, n_frames: int,
+                  bandwidth: float, frequency: float, continuum: bool):
+    """Turn the fused kernel's RAW frame-summed cross power into the final
+    visibility: FSTC rotation (applied AFTER integration — it commutes with
+    the frame sum: vis[p,q] = xp[p,q] * rot_p * conj(rot_q) / n_frames with
+    rot_c = exp(+2pi j f d_c), the fstc_rotate_planes contract), fftshift,
+    and the continuum reduction.  Works for single blocks
+    (xp [nbl, nbins], delays [nch]) and stacks (xp [K, nbl, nbins],
+    delays [K, nch]) alike."""
+    from fxtpu.ops.cplx import cfftshift
+    freqs = jnp.asarray(
+        (np.fft.fftfreq(nbins, d=1.0 / bandwidth) + frequency
+         ).astype(np.float32))
+    d = jnp.asarray(delays, jnp.float32)
+    dd = jnp.take(d, pairs_np[:, 0], axis=-1) \
+        - jnp.take(d, pairs_np[:, 1], axis=-1)        # [..., nbl]
+    phase = (2.0 * np.pi) * freqs * dd[..., None]     # [..., nbl, nbins]
+    cp, sp = jnp.cos(phase), jnp.sin(phase)
+    vis = Cplx((xp.re * cp - xp.im * sp) / n_frames,
+               (xp.re * sp + xp.im * cp) / n_frames)
+    vis = cfftshift(vis, axes=-1)
+    if continuum:
+        vis = _continuum_planes(vis, bandwidth)
+    return vis
 
 
 def _make_planes_core(*, mode: str, nbins: int, w2d, pairs_a,
@@ -90,16 +123,21 @@ def _make_planes_core(*, mode: str, nbins: int, w2d, pairs_a,
         shift_gather = jnp.asarray(
             inv[(np.arange(nbins) - nbins // 2) % nbins])
 
-    def core(iq: Cplx, delays, history: Cplx):
-        if use_fused:
-            from fxtpu.ops.pfb_pallas import spectrometer_pallas
-            spec, new_hist = spectrometer_pallas(iq, w2d, nbins, history)
-            spec = pl_ops.fstc_rotate_planes(spec, delays, bandwidth,
-                                             frequency)
-            vis = pl_ops.xcorr_baselines_planes(spec, pairs_a)
-            if continuum:
-                vis = _continuum_planes(vis, bandwidth)
+    if use_fused:
+        pairs_np = np.asarray(pairs_a)
+
+        def fused_core(iq: Cplx, delays, history: Cplx):
+            from fxtpu.ops.pfb_pallas import fx_pallas_raw
+            xp, new_hist = fx_pallas_raw(iq, w2d, nbins, history, pairs_np)
+            n_frames = (iq.shape[-2] if iq.re.ndim == 3
+                        else iq.shape[-1] // nbins)
+            vis = _finish_fused(xp, delays, pairs_np, nbins, n_frames,
+                                bandwidth, frequency, continuum)
             return vis, new_hist
+
+        return fused_core
+
+    def core(iq: Cplx, delays, history: Cplx):
         iq = pl_ops.dc_remove_planes(iq)
         spec, new_hist = pl_ops.spectrometer_planes(
             iq, w2d, nbins, history=history, permuted=permuted)
@@ -199,6 +237,26 @@ def make_fx_multi_step(*, mode: str, nbins: int, window2d: np.ndarray,
     continuum = mode in ("CONTINUUM", "TEST")
     w2d = jnp.asarray(window2d, dtype=jnp.float32)
     use_fused = _resolve_fused(fused, nbins, ntaps, s_rows)
+
+    if use_fused:
+        # no lax.scan: the fused kernel's grid iterates blocks itself,
+        # carrying the tap history in VMEM scratch.  A scan would pay a
+        # full HBM copy per iteration just to slice its input (measured
+        # ~82 us/block at the flagship shape, ~20% of the step).
+        pairs_np = np.asarray(pairs_a)
+        continuum = mode in ("CONTINUUM", "TEST")
+
+        @jax.jit
+        def multi_fused(iq: Cplx, delays, history: Cplx):
+            from fxtpu.ops.pfb_pallas import fx_pallas_raw_multi
+            xp, new_hist = fx_pallas_raw_multi(iq, w2d, nbins, history,
+                                               pairs_np)
+            vis = _finish_fused(xp, delays, pairs_np, nbins, s_rows,
+                                bandwidth, frequency, continuum)
+            return vis, new_hist
+
+        return multi_fused
+
     core = _make_planes_core(
         mode=mode, nbins=nbins, w2d=w2d, pairs_a=pairs_a,
         bandwidth=bandwidth, frequency=frequency, use_fused=use_fused)
@@ -234,6 +292,9 @@ def make_calibrator(*, bandwidth: float, impl: str = "planes"):
 
         @jax.jit
         def cal(iq: Cplx):
+            if iq.re.ndim == 3:  # pre-framed [nch, S, nbins] planes
+                iq = Cplx(iq.re.reshape(iq.re.shape[0], -1),
+                          iq.im.reshape(iq.im.shape[0], -1))
             iq = pl_ops.dc_remove_planes(iq)
             ref = iq[0]
             est = jax.vmap(
@@ -322,17 +383,34 @@ class FxEngine:
         return zero_history(shape, self.cfg.nbins, self.cfg.ntaps,
                             jnp.complex64)
 
+    @property
+    def fused_active(self) -> bool:
+        """True when this engine's step runs the fused Pallas kernel."""
+        return (self.impl == "planes" and self.mesh is None
+                and _resolve_fused(self.fused, self.cfg.nbins,
+                                   self.cfg.ntaps,
+                                   self.cfg.num_samp // self.cfg.nbins))
+
     def prepare_block(self, block: np.ndarray):
         """Host block [nch, num_samp] complex64 -> device input form.
 
         With a mesh, placement goes through the sharded ingest path
         (fxtpu.parallel.ingest.put_block): device_put with the block's
         NamedSharding single-host, make_array_from_process_local_data
-        under a multi-process runtime (each host feeds only its span)."""
+        under a multi-process runtime (each host reads only its span).
+
+        Fused-kernel engines upload numpy blocks PRE-FRAMED as
+        [..., S, nbins] rows: the host reshape is free, while reframing a
+        device-resident array is a tiled-layout change costing a full HBM
+        round trip (see fx_pallas_raw_multi)."""
         if self.impl == "planes":
             if self.mesh is not None and np.ndim(block) == 2:
                 from fxtpu.parallel.ingest import put_block
                 return put_block(np.asarray(block), self.mesh)
+            if self.fused_active and isinstance(block, np.ndarray):
+                s = block.shape[-1] // self.cfg.nbins
+                block = block[..., : s * self.cfg.nbins].reshape(
+                    *block.shape[:-1], s, self.cfg.nbins)
             return from_complex(block)
         return jnp.asarray(block)
 

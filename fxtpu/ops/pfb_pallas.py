@@ -1,42 +1,54 @@
-"""Fused F-stage Pallas kernel: DC-subtract + PFB FIR + 2-stage MXU FFT.
+"""Fused Pallas kernels for the FX hot path.
 
-The XLA path (fxtpu.ops.planes.spectrometer_planes) round-trips HBM between
-DC removal, the tap FIR, each FFT matmul stage, and the output transpose —
-~6 passes over the block.  This kernel keeps a tile of PFB frames resident
-in VMEM and does all of it in ONE read + ONE write of HBM:
+Two kernels live here:
 
-  grid (batch, frame-tiles); per program:
-    1. the input row slab [2(planes), tile+pad, nbins] arrives by async
-       copy, double-buffered across grid steps (tile t's compute overlaps
-       tile t+1's DMA); rows before the block start come from the carried
-       tap history,
-    2. subtract the per-channel mean (DC spike, reference behavior at
-       /root/reference/effex/effex.py:393-395),
-    3. windowed FIR across taps (VPU),
-    4. FFT as two balanced DFT-matrix stages on the MXU (nbins = n1*n2,
-       n1 ~ n2 ~ sqrt(nbins), both plain 2-D matmuls at HIGH precision)
-       with in-VMEM twiddle and transposes,
-    5. write the spectra tile.
+* **fx (production, engine default on TPU)** — `fx_pallas_raw_multi` /
+  `_fx_kernel`: the ENTIRE per-block device pipeline (DC-subtract, PFB
+  FIR, 2-stage MXU FFT, X-stage cross-power accumulation) for a whole
+  K-block dispatch in ONE kernel launch, grid (K, frame-tiles).  Spectra
+  never touch HBM; the tap history crosses block boundaries through VMEM
+  scratch; total HBM traffic ~= reading the input once (+ the mean pass).
+  Measured on TPU v5e at the flagship 2ch/4096-bin shape: **18.6 GS/s**
+  through the full engine step vs 10.2 GS/s for the unfused XLA path.
+  The design points that got it there (each measured, see docs/design.md):
+
+    1. FSTC rotation COMMUTES with frame integration
+       (sum_f (rot_p s_p)(rot_q s_q)* = rot_p rot_q* sum_f s_p s_q*),
+       so the kernel accumulates RAW cross power and rotation/fftshift/
+       continuum act on the tiny [nbl, nbins] visibility outside;
+    2. Mosaic dots are DEFAULT (1-pass bf16) or HIGHEST (6-pass) only —
+       every f32 matmul here is a manual 3-pass bf16 SPLIT
+       (x ~ hi + lo; x@M ~ hi@Mh + hi@Ml + lo@Mh, f32 accumulation),
+       numerically ~ XLA HIGH (3.5e-5 vs unfused on-chip) at half the
+       HIGHEST cost;
+    3. the FFT stages are TRANSPOSE-FREE: stage 1 contracts the major
+       digit with per-frame LEFT matmuls ([[C,-S],[S,C]] @ [xr; xi],
+       [2n1,2n1]@[2n1,n2]) and stage 2 contracts the lanes with one
+       combined RIGHT matmul ([br | bi] @ [[C,S],[-S,C]]); the resulting
+       bin permutation (b = k1 + n1*k2) is undone on the tiny output
+       (in-kernel [tile, n1, n2] transposes were ~45% of kernel time);
+    4. K lives in the GRID, not a lax.scan — a scan's per-iteration input
+       dynamic-slice costs a full HBM copy of each block;
+    5. inputs arrive PRE-FRAMED [K, nch, S, nbins]: reframing a
+       device-resident sample axis is a tiled-layout change costing a
+       full HBM round trip, while the host reshape before upload is free.
+
+  NOTE (this backend): jax.block_until_ready does NOT synchronize Pallas
+  outputs through the remote-device tunnel — benchmarks must force a
+  readback (see bench.py).
+
+* **spectrometer (legacy, opt-in research kernel)** — `spectrometer_pallas`
+  / `_kernel`: the earlier F-stage-only fusion (DC+FIR+FFT, spectra
+  written to HBM) with HIGHEST-precision dots and in-kernel transposes.
+  Measured SLOWER than the XLA path (2.75 vs 6.23 GS/s at 2^22/8-scan);
+  kept as the stepping stone and CPU-interpret test target.
 
 Contract matches dc_remove_planes + spectrometer_planes exactly: carried
-history is the DC-corrected input tail (zeros at stream start).
-
-Measured on the one real TPU v5e (2ch x 2^22 x 4096 bins, 8-block scan):
-this kernel reaches 2.75 Gsamp/s vs 6.23 Gsamp/s for the unfused XLA path
-— Mosaic's HIGHEST-precision (6-pass) dots on the small stage-1 matmuls
-dominate, and XLA's own fusion already keeps the elementwise stages cheap.
-It therefore ships OPT-IN (FxEngine(fused=True)); the engine default is the
-XLA path.  Kept because (a) it is the template for future fused F-stage
-work (bf16 split-precision stage matmuls would roughly double it) and
-(b) backends with cheaper f32 MXU passes will flip the comparison.
-
-Mosaic constraints honored: DMA row-slices are 8-aligned (sizes and
-starts), and no shape cast collapses a non-128-lane trailing dim (the
-final [S, n2, n1] -> [S, nbins] reshape happens outside the kernel, where
-it is a free row-major relabel).
-
-Only valid for smooth nbins (n1, n2 <= 128) and ntaps >= 2 with
-tile >= halo; the engine falls back to the XLA path otherwise.
+history is the DC-corrected input tail (zeros at stream start).  Mosaic
+constraints honored: DMA row-slices are 8-aligned, and no shape cast
+collapses a non-128-lane trailing dim.  Only valid for nbins = n1*128
+(n1 <= 128) and ntaps >= 2 with tile >= halo_pad; the engine falls back
+to the XLA path otherwise (`supported`).
 """
 
 from __future__ import annotations
@@ -231,6 +243,368 @@ def _pfb_fft_call(x_stacked, hist_stacked, means, w2d, nbins: int,
       jnp.asarray(np.ascontiguousarray(twc.T)),
       jnp.asarray(np.ascontiguousarray(tws.T)),
       jnp.asarray(c2), jnp.asarray(s2))
+
+
+# ===========================================================================
+# Full fused FX step kernel: DC + FIR + 2-stage FFT + X-accumulate in VMEM
+# ===========================================================================
+#
+# Two ideas make this faster than both the XLA path and the F-stage-only
+# kernel above:
+#
+#   1. The FSTC phase rotation is constant across the PFB frames of a
+#      block, so it COMMUTES with the frame integration:
+#        sum_f (rot_p spec_p) conj(rot_q spec_q)
+#          = rot_p conj(rot_q) * sum_f spec_p conj(spec_q).
+#      The kernel therefore accumulates RAW cross power and never writes
+#      spectra to HBM at all — the rotation, bin unpermute, fftshift and
+#      continuum reduce all act on the tiny [nbl, nbins] visibility
+#      outside.  HBM traffic ~= reading the input once (plus the separate
+#      mean pass), vs ~10 passes for the XLA path (see docs/design.md §3).
+#
+#   2. Mosaic dots support only DEFAULT (1-pass bf16) or HIGHEST (6-pass)
+#      precision — HIGHEST is what made the F-stage kernel lose.  Here
+#      every f32 matmul is a manual 3-pass bf16 SPLIT (x ~ hi + lo;
+#      x@M ~ hi@Mh + hi@Ml + lo@Mh, f32 accumulation), numerically
+#      equivalent to XLA's HIGH — the same precision the unfused path
+#      runs at — at half the HIGHEST cost.
+
+
+def _split_bf16(x):
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~= x (3-pass dot splitting)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(x_hi, x_lo, m_hi, m_lo):
+    """x @ m at ~HIGH precision from bf16 splits, f32 accumulation."""
+    kw = dict(preferred_element_type=jnp.float32)
+    return (jnp.dot(x_hi, m_hi, **kw) + jnp.dot(x_hi, m_lo, **kw)
+            + jnp.dot(x_lo, m_hi, **kw))
+
+
+def _cdot3(xr, xi, mc_hi, mc_lo, ms_hi, ms_lo):
+    """Complex (xr + j xi) @ (C + j S) via split dots -> (re, im) f32."""
+    xr_hi, xr_lo = _split_bf16(xr)
+    xi_hi, xi_lo = _split_bf16(xi)
+    out_re = _dot3(xr_hi, xr_lo, mc_hi, mc_lo) \
+        - _dot3(xi_hi, xi_lo, ms_hi, ms_lo)
+    out_im = _dot3(xr_hi, xr_lo, ms_hi, ms_lo) \
+        + _dot3(xi_hi, xi_lo, mc_hi, mc_lo)
+    return out_re, out_im
+
+def _fx_kernel(xre_ref, xim_ref, hist_ref, mean_ref, w_ref, m1h_ref,
+               m1l_ref, twc_ref, tws_ref, m2h_ref, m2l_ref,
+               out_ref, hout_ref, slab, hist_s, sems,
+               *, tile: int, ntaps: int, n1: int, n2: int,
+               n_tiles: int, nch: int, k_blocks: int, pairs):
+    """Grid (K, n_tiles), sequential.  Per program: DMA one slab of PFB
+    rows (double-buffered, prefetching the NEXT program's slab), DC-correct,
+    FIR, transpose-free 2-stage split-bf16 FFT, and accumulate raw cross
+    power per baseline into this block's output tile.  Tap history crosses
+    block boundaries through the `hist_s` VMEM scratch — no HBM round trip
+    and no lax.scan (whose per-iteration input dynamic-slice costs a full
+    HBM copy of the block)."""
+    k = pl.program_id(0)
+    t = pl.program_id(1)
+    g = k * n_tiles + t
+    total = k_blocks * n_tiles
+    halo = ntaps - 1
+    pad = _halo_pad(ntaps)
+    buf = jax.lax.rem(g, 2)
+
+    def full_copies(kk, tt, slot):
+        # rows [tt*tile - pad, tt*tile + tile) of block kk -> whole slab
+        # (the two planes arrive as separate arrays: no host-side stack,
+        # which would cost a full HBM round trip of the input)
+        start = pl.multiple_of(tt * tile - pad, 8)
+        return [
+            pltpu.make_async_copy(
+                xre_ref.at[kk, :, pl.ds(start, pad + tile)],
+                slab.at[slot, :, 0], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                xim_ref.at[kk, :, pl.ds(start, pad + tile)],
+                slab.at[slot, :, 1], sems.at[slot, 1]),
+        ]
+
+    def head_copies(kk, slot):
+        # rows [0, tile) of block kk -> slab data region (front comes from
+        # hist_s, filled by the (kk, 0) program itself)
+        return [
+            pltpu.make_async_copy(
+                xre_ref.at[kk, :, pl.ds(0, tile)],
+                slab.at[slot, :, 0, pl.ds(pad, tile)], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                xim_ref.at[kk, :, pl.ds(0, tile)],
+                slab.at[slot, :, 1, pl.ds(pad, tile)], sems.at[slot, 1]),
+        ]
+
+    # ---- DMA: wait for this program's slab; prefetch the next one --------
+    @pl.when(g == 0)
+    def _():
+        cph = pltpu.make_async_copy(hist_ref, hist_s, sems.at[0, 0])
+        cph.start()
+        cph.wait()
+        for cp in head_copies(0, 0):
+            cp.start()
+        for cp in head_copies(0, 0):
+            cp.wait()
+
+    @pl.when((g > 0) & (t != 0))
+    def _():
+        for cp in full_copies(k, t, buf):
+            cp.wait()
+
+    @pl.when((g > 0) & (t == 0))
+    def _():
+        for cp in head_copies(k, buf):
+            cp.wait()
+
+    nxt = jax.lax.rem(g + 1, 2)
+    nk = k + (t + 1) // n_tiles
+    nt = jax.lax.rem(t + 1, n_tiles)
+
+    @pl.when((g + 1 < total) & (nt != 0))
+    def _():
+        for cp in full_copies(nk, nt, nxt):
+            cp.start()
+
+    @pl.when((g + 1 < total) & (nt == 0))
+    def _():
+        for cp in head_copies(nk, nxt):
+            cp.start()
+
+    # ---- t == 0: slab front <- carried history (already DC-corrected) ----
+    @pl.when(t == 0)
+    def _():
+        for c in range(nch):
+            slab[buf, c, 0, :pad] = hist_s[c, 0]
+            slab[buf, c, 1, :pad] = hist_s[c, 1]
+
+    # ---- DC correction + FIR + FFT per channel ----------------------------
+    # current-block rows get mean[k] subtracted; the first tile's pad rows
+    # are carried history (already corrected) and are exempt
+    row_is_data = (jax.lax.broadcasted_iota(
+        jnp.int32, (tile + pad, 1), 0) >= pad).astype(jnp.float32)
+    correct = jnp.where(t == 0, row_is_data, jnp.ones_like(row_is_data))
+    off = pad - halo
+    kw = dict(preferred_element_type=jnp.float32)
+    spec = []
+    for c in range(nch):
+        plane_re = slab[buf, c, 0] - mean_ref[k, c, 0] * correct
+        plane_im = slab[buf, c, 1] - mean_ref[k, c, 1] * correct
+        fir_re = w_ref[0] * plane_re[off:off + tile]
+        fir_im = w_ref[0] * plane_im[off:off + tile]
+        for tap in range(1, ntaps):
+            fir_re = fir_re + w_ref[tap] * plane_re[off + tap:
+                                                    off + tap + tile]
+            fir_im = fir_im + w_ref[tap] * plane_im[off + tap:
+                                                    off + tap + tile]
+        # stage 1 contracts the major digit i1 over the row axis with a
+        # LEFT matmul per PFB frame — NO transposes anywhere:
+        #   [re(k1); im(k1)] = [[C1,-S1],[S1,C1]] @ [xr(i1); xi(i1)]
+        # one [2*n1, 2*n1] @ [2*n1, n2] product per frame per split pass
+        f3r = fir_re.reshape(tile, n1, n2)
+        f3i = fir_im.reshape(tile, n1, n2)
+        brs, bis = [], []
+        for fr in range(tile):
+            x2 = jnp.concatenate([f3r[fr], f3i[fr]], axis=0)  # [2n1, n2]
+            hi, lo = _split_bf16(x2)
+            a = (jnp.dot(m1h_ref[:], hi, **kw)
+                 + jnp.dot(m1l_ref[:], hi, **kw)
+                 + jnp.dot(m1h_ref[:], lo, **kw))
+            ar, ai = a[:n1], a[n1:]
+            # twiddle W_N^{i2*k1}, arranged [k1, i2] (natural layout)
+            brs.append(ar * twc_ref[:] - ai * tws_ref[:])
+            bis.append(ar * tws_ref[:] + ai * twc_ref[:])
+        # stage 2 contracts i2 over the LANES: one combined right matmul
+        #   [re | im] = [br | bi] @ [[C2, S2], [-S2, C2]]
+        br2 = jnp.concatenate(brs, axis=0)   # [tile*n1 (k1-rows), n2 (i2)]
+        bi2 = jnp.concatenate(bis, axis=0)
+        x2 = jnp.concatenate([br2, bi2], axis=1)        # [tile*n1, 2*n2]
+        hi, lo = _split_bf16(x2)
+        cc = (jnp.dot(hi, m2h_ref[:], **kw) + jnp.dot(hi, m2l_ref[:], **kw)
+              + jnp.dot(lo, m2h_ref[:], **kw))
+        cr = cc[:, :n2].reshape(tile, n1, n2)
+        ci = cc[:, n2:].reshape(tile, n1, n2)
+        # spectra [tile, k1, k2]; bin index = k1 + n1*k2 (permuted — the
+        # tiny integrated visibility is gathered to natural order outside)
+        spec.append((cr, ci))
+
+    # ---- save DC-corrected tail as next block's history -------------------
+    @pl.when(t == n_tiles - 1)
+    def _():
+        for c in range(nch):
+            hist_s[c, 0, pad - halo:] = (
+                slab[buf, c, 0, pad + tile - halo:]
+                - mean_ref[k, c, 0])
+            hist_s[c, 1, pad - halo:] = (
+                slab[buf, c, 1, pad + tile - halo:]
+                - mean_ref[k, c, 1])
+
+    @pl.when((k == k_blocks - 1) & (t == n_tiles - 1))
+    def _():
+        hout_ref[...] = hist_s[...]
+
+    # ---- X-stage: accumulate raw cross power over this tile's frames ------
+    for ib, (p, q) in enumerate(pairs):
+        pr, pi = spec[p]
+        qr, qi = spec[q]
+        acc_re = jnp.sum(pr * qr + pi * qi, axis=0)   # [n1, n2]
+        acc_im = jnp.sum(pi * qr - pr * qi, axis=0)
+
+        @pl.when(t == 0)
+        def _(ib=ib, acc_re=acc_re, acc_im=acc_im):
+            out_ref[0, ib, 0] = acc_re
+            out_ref[0, ib, 1] = acc_im
+
+        @pl.when(t != 0)
+        def _(ib=ib, acc_re=acc_re, acc_im=acc_im):
+            out_ref[0, ib, 0] += acc_re
+            out_ref[0, ib, 1] += acc_im
+
+
+@functools.partial(jax.jit, static_argnames=("nbins", "tile", "pairs_t"))
+def _fx_call(x_re, x_im, hist_stacked, means, w2d, nbins: int, tile: int,
+             pairs_t):
+    interpret = jax.default_backend() != "tpu"
+    k_blocks, nch, s_rows, _ = x_re.shape
+    ntaps = w2d.shape[0]
+    n1, n2 = _kernel_factor(nbins)
+    c1, s1 = _dft_mats(n1, False)
+    c2, s2 = _dft_mats(n2, False)
+    twc, tws = _twiddle(n1, n2, False)   # [n1(k1), n2(i2)]
+
+    def split_np(m):
+        m = m.astype(np.float32)
+        hi = m.astype(jnp.bfloat16)
+        lo = (m - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+        return jnp.asarray(hi), jnp.asarray(lo)
+
+    def big(c, s):
+        n = c.shape[0]
+        m = np.zeros((2 * n, 2 * n), np.float32)
+        m[:n, :n] = c
+        m[:n, n:] = s
+        m[n:, :n] = -s
+        m[n:, n:] = c
+        return m
+
+    # stage 1 is a LEFT multiply: [[C,-S],[S,C]] = big(C,S).T (C,S symmetric)
+    m1h, m1l = split_np(big(c1, s1).T)
+    m2h, m2l = split_np(big(c2, s2))
+    nbl = len(pairs_t)
+    pad = _halo_pad(ntaps)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fx_kernel, tile=tile, ntaps=ntaps,
+                          n1=n1, n2=n2, n_tiles=s_rows // tile, nch=nch,
+                          k_blocks=k_blocks, pairs=pairs_t),
+        grid=(k_blocks, s_rows // tile),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # x re (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # x im (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # history0 (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # means [K, nch, 2]
+            vmem,                                    # window [ntaps, nbins]
+            vmem, vmem,                              # stage-1 mat hi/lo
+            vmem, vmem,                              # twiddle cos/sin f32
+            vmem, vmem,                              # stage-2 mat hi/lo
+        ],
+        out_specs=(
+            pl.BlockSpec((1, nbl, 2, n1, n2), lambda k, t: (k, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch, 2, pad, nbins), lambda k, t: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),   # final history
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((k_blocks, nbl, 2, n1, n2), jnp.float32),
+            jax.ShapeDtypeStruct((nch, 2, pad, nbins), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, nch, 2, tile + _halo_pad(ntaps), nbins),
+                       jnp.float32),
+            pltpu.VMEM((nch, 2, pad, nbins), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        # deep-tap/wideband shapes need a bigger slab than the 16 MB
+        # default scoped-VMEM budget (v5e has 128 MB of VMEM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_re, x_im, hist_stacked, means, w2d, m1h, m1l,
+      jnp.asarray(np.ascontiguousarray(twc)),
+      jnp.asarray(np.ascontiguousarray(tws)), m2h, m2l)
+
+
+def _fx_perm(nbins: int) -> np.ndarray:
+    """inv[natural_bin] = flat position in the kernel's [k1, n2-minor]
+    output layout (bin = k1 + n1*k2 at position k1*n2 + k2)."""
+    n1, n2 = _kernel_factor(nbins)
+    b = np.arange(nbins)
+    return (b % n1) * n2 + b // n1
+
+
+def fx_pallas_raw_multi(x: Cplx, w2d, nbins: int, history: Cplx, pairs):
+    """Fused DC + PFB + FFT + X for a STACK of blocks in one kernel launch:
+    ``x [K, nch, nsamp]`` -> (raw_xpower [K, nbl, nbins] SUM over frames,
+    natural bin order, new_history).
+
+    'Raw' = no FSTC rotation, no frame-mean normalization, no fftshift —
+    the caller applies ``rot_p conj(rot_q) / n_frames`` per block and the
+    shift on these tiny arrays (the rotation commutes with the frame sum;
+    see module notes).  History contract identical to the planes path:
+    in/out is the DC-corrected previous-block tail.
+
+    ``x`` may arrive pre-framed as ``[K, nch, S, nbins]`` 4-D planes —
+    STRONGLY preferred for device-resident inputs: reshaping a device
+    ``[K, nch, nsamp]`` array into frames is a tiled-LAYOUT change that
+    costs a full HBM round trip (~82 us/block at the flagship shape),
+    while the host-side numpy reshape before upload is free."""
+    ntaps = int(w2d.shape[0])
+    if x.re.ndim == 4:
+        k_blocks, nch, s_rows, _ = x.re.shape
+        rows_re, rows_im = x.re, x.im
+        means = jnp.stack([jnp.mean(rows_re, axis=(-2, -1)),
+                           jnp.mean(rows_im, axis=(-2, -1))], axis=-1)
+    else:
+        k_blocks, nch, nsamp = x.shape
+        s_rows = nsamp // nbins
+        means = jnp.stack([jnp.mean(x.re, axis=-1),
+                           jnp.mean(x.im, axis=-1)], axis=-1)  # [K, nch, 2]
+        rows_re = x.re[..., : s_rows * nbins].reshape(
+            k_blocks, nch, s_rows, nbins)
+        rows_im = x.im[..., : s_rows * nbins].reshape(
+            k_blocks, nch, s_rows, nbins)
+    tile = _pick_tile(s_rows, ntaps)
+    if tile is None:
+        raise ValueError(f"unsupported shape: S={s_rows}, ntaps={ntaps}")
+    pad = _halo_pad(ntaps)
+    hist = jnp.stack([history.re, history.im], axis=1).astype(jnp.float32)
+    hist = jnp.pad(hist, ((0, 0), (0, 0), (pad - (ntaps - 1), 0), (0, 0)))
+    pairs_t = tuple((int(p), int(q)) for p, q in np.asarray(pairs))
+    out, hist_out = _fx_call(rows_re.astype(jnp.float32),
+                             rows_im.astype(jnp.float32), hist,
+                             means.astype(jnp.float32),
+                             jnp.asarray(w2d, jnp.float32), nbins, tile,
+                             pairs_t)
+    nbl = out.shape[1]
+    inv = _fx_perm(nbins)
+    flat = out.reshape(k_blocks, nbl, 2, nbins)
+    nat = jnp.take(flat, jnp.asarray(inv), axis=-1)
+    xp = Cplx(nat[:, :, 0], nat[:, :, 1])
+    new_hist = Cplx(hist_out[:, 0, pad - (ntaps - 1):],
+                    hist_out[:, 1, pad - (ntaps - 1):])
+    return xp, new_hist
+
+
+def fx_pallas_raw(x: Cplx, w2d, nbins: int, history: Cplx, pairs):
+    """Single-block wrapper over :func:`fx_pallas_raw_multi`."""
+    xk = Cplx(x.re[None], x.im[None])
+    xp, new_hist = fx_pallas_raw_multi(xk, w2d, nbins, history, pairs)
+    return Cplx(xp.re[0], xp.im[0]), new_hist
 
 
 def spectrometer_pallas(x: Cplx, w2d, nbins: int, history: Cplx):
