@@ -351,10 +351,11 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, mean_ref, w_ref, m1h_ref,
         for cp in head_copies(0, 0):
             cp.wait()
 
-    @pl.when((g > 0) & (t != 0))
-    def _():
-        for cp in full_copies(k, t, buf):
-            cp.wait()
+    if n_tiles > 1:
+        @pl.when((g > 0) & (t != 0))
+        def _():
+            for cp in full_copies(k, t, buf):
+                cp.wait()
 
     @pl.when((g > 0) & (t == 0))
     def _():
@@ -365,10 +366,11 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, mean_ref, w_ref, m1h_ref,
     nk = k + (t + 1) // n_tiles
     nt = jax.lax.rem(t + 1, n_tiles)
 
-    @pl.when((g + 1 < total) & (nt != 0))
-    def _():
-        for cp in full_copies(nk, nt, nxt):
-            cp.start()
+    if n_tiles > 1:
+        @pl.when((g + 1 < total) & (nt != 0))
+        def _():
+            for cp in full_copies(nk, nt, nxt):
+                cp.start()
 
     @pl.when((g + 1 < total) & (nt == 0))
     def _():
@@ -547,10 +549,16 @@ def _fx_perm(nbins: int) -> np.ndarray:
     return (b % n1) * n2 + b // n1
 
 
-def fx_pallas_raw_multi(x: Cplx, w2d, nbins: int, history: Cplx, pairs):
+def fx_pallas_raw_multi(x: Cplx, w2d, nbins: int, history: Cplx, pairs,
+                        means=None):
     """Fused DC + PFB + FFT + X for a STACK of blocks in one kernel launch:
     ``x [K, nch, nsamp]`` -> (raw_xpower [K, nbl, nbins] SUM over frames,
     natural bin order, new_history).
+
+    ``means`` overrides the DC means ([K, nch, 2] re/im): pass the
+    GLOBAL per-channel means when each kernel instance sees only a shard
+    of the block (the sharded path), or host-precomputed means to skip
+    the in-graph reduction pass.
 
     'Raw' = no FSTC rotation, no frame-mean normalization, no fftshift —
     the caller applies ``rot_p conj(rot_q) / n_frames`` per block and the
@@ -567,13 +575,16 @@ def fx_pallas_raw_multi(x: Cplx, w2d, nbins: int, history: Cplx, pairs):
     if x.re.ndim == 4:
         k_blocks, nch, s_rows, _ = x.re.shape
         rows_re, rows_im = x.re, x.im
-        means = jnp.stack([jnp.mean(rows_re, axis=(-2, -1)),
-                           jnp.mean(rows_im, axis=(-2, -1))], axis=-1)
+        if means is None:
+            means = jnp.stack([jnp.mean(rows_re, axis=(-2, -1)),
+                               jnp.mean(rows_im, axis=(-2, -1))], axis=-1)
     else:
         k_blocks, nch, nsamp = x.shape
         s_rows = nsamp // nbins
-        means = jnp.stack([jnp.mean(x.re, axis=-1),
-                           jnp.mean(x.im, axis=-1)], axis=-1)  # [K, nch, 2]
+        if means is None:
+            means = jnp.stack([jnp.mean(x.re, axis=-1),
+                               jnp.mean(x.im, axis=-1)],
+                              axis=-1)  # [K, nch, 2]
         rows_re = x.re[..., : s_rows * nbins].reshape(
             k_blocks, nch, s_rows, nbins)
         rows_im = x.im[..., : s_rows * nbins].reshape(
@@ -600,10 +611,15 @@ def fx_pallas_raw_multi(x: Cplx, w2d, nbins: int, history: Cplx, pairs):
     return xp, new_hist
 
 
-def fx_pallas_raw(x: Cplx, w2d, nbins: int, history: Cplx, pairs):
-    """Single-block wrapper over :func:`fx_pallas_raw_multi`."""
+def fx_pallas_raw(x: Cplx, w2d, nbins: int, history: Cplx, pairs,
+                  means=None):
+    """Single-block wrapper over :func:`fx_pallas_raw_multi` (2-D
+    ``[nch, nsamp]`` or pre-framed 3-D ``[nch, S, nbins]`` planes;
+    optional ``means`` [nch, 2])."""
     xk = Cplx(x.re[None], x.im[None])
-    xp, new_hist = fx_pallas_raw_multi(xk, w2d, nbins, history, pairs)
+    xp, new_hist = fx_pallas_raw_multi(
+        xk, w2d, nbins, history, pairs,
+        means=None if means is None else means[None])
     return Cplx(xp.re[0], xp.im[0]), new_hist
 
 

@@ -50,15 +50,99 @@ from fxtpu.parallel.mesh import FREQ_AXIS, TIME_AXIS, validate_shapes
 AXES = (TIME_AXIS, FREQ_AXIS)
 
 
+def _make_fused_sharded_step(*, mode: str, nbins: int, w2d, pairs,
+                             bandwidth: float, frequency: float,
+                             mesh: jax.sharding.Mesh, num_samp: int,
+                             ntaps: int):
+    """Sharded step around the fused full-step Pallas kernel: every shard
+    runs DC+FIR+FFT+X on its local frames (kernel ``history`` input = the
+    ppermute'd halo), then ONE psum of the tiny [nbl, 2, nbins] raw cross
+    power integrates across the mesh — no corner turn (see
+    make_sharded_fx_step docstring)."""
+    from fxtpu.fx import _finish_fused
+    from fxtpu.ops.pfb_pallas import fx_pallas_raw
+
+    t_sz = mesh.shape[TIME_AXIS]
+    f_sz = mesh.shape[FREQ_AXIS]
+    n_shards = t_sz * f_sz
+    s_rows = num_samp // nbins
+    pairs_np = np.asarray(pairs)
+    continuum = mode in ("CONTINUUM", "TEST")
+    w2dj = jnp.asarray(w2d, jnp.float32)
+
+    def local_fx(rows: Cplx, delays, history: Cplx, means):
+        # rows: [nch, S_loc, nbins] framed planes (this shard's frames)
+        # halo: DC-corrected trailing rows to the right neighbor (the
+        # kernel's history contract is the corrected tail)
+        m_re = means[:, 0][:, None, None]
+        m_im = means[:, 1][:, None, None]
+        tail = Cplx(rows.re[:, -(ntaps - 1):] - m_re,
+                    rows.im[:, -(ntaps - 1):] - m_im)
+        if n_shards > 1:
+            idx = lax.axis_index(AXES)
+            prev = unstack(lax.ppermute(
+                stack(tail), AXES, [(i, i + 1) for i in range(n_shards - 1)]))
+            prev = Cplx(jnp.where(idx == 0, history.re, prev.re),
+                        jnp.where(idx == 0, history.im, prev.im))
+            new_hist = unstack(lax.psum(
+                jnp.where(idx == n_shards - 1, stack(tail),
+                          jnp.zeros_like(stack(tail))), AXES))
+        else:
+            prev, new_hist = history, tail
+        xp, _ = fx_pallas_raw(rows, w2dj, nbins, prev, pairs_np,
+                              means=means)
+        xp = unstack(lax.psum(stack(xp), AXES))  # total raw cross power
+        return xp, new_hist
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, which the shard_map checker requires otherwise
+    sharded = jax.shard_map(
+        local_fx, mesh=mesh,
+        in_specs=(P(None, AXES, None), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(iq: Cplx, delays, history: Cplx):
+        # global framing + global per-channel DC means (a sharded reduce)
+        if iq.re.ndim == 2:
+            rows = Cplx(
+                iq.re[:, : s_rows * nbins].reshape(-1, s_rows, nbins),
+                iq.im[:, : s_rows * nbins].reshape(-1, s_rows, nbins))
+        else:
+            rows = iq
+        rows = jax.tree.map(
+            lambda a: lax.with_sharding_constraint(
+                a, NamedSharding(mesh, P(None, AXES, None))), rows)
+        means = jnp.stack([jnp.mean(rows.re, axis=(-2, -1)),
+                           jnp.mean(rows.im, axis=(-2, -1))],
+                          axis=-1).astype(jnp.float32)
+        xp, new_hist = sharded(rows, jnp.asarray(delays), history, means)
+        vis = _finish_fused(xp, delays, pairs_np, nbins, s_rows,
+                            bandwidth, frequency, continuum)
+        return vis, new_hist
+
+    return step
+
+
 def make_sharded_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
                          pairs: np.ndarray, bandwidth: float, frequency: float,
                          mesh: jax.sharding.Mesh, num_samp: int,
-                         impl: str = "planes"):
+                         impl: str = "planes", fused="auto"):
     """Build a jitted sharded step: ``(iq [nch, num_samp], delays [nch],
     history [nch, ntaps-1, nbins]) -> (vis, new_history)``.
 
     ``vis`` is ``[nbl, nbins]`` (SPECTRUM) or ``[nbl]`` (CONTINUUM/TEST),
     fftshifted, matching the single-device path up to float reduction order.
+
+    ``fused='auto'``: on TPU, supported shallow-tap shapes run the fused
+    full-step Pallas kernel per shard — and because the kernel fuses the
+    X-stage (spectra never materialize), the classic frame->bin corner
+    turn (``all_to_all``) disappears entirely: every shard correlates its
+    local frames and ONE tiny ``psum`` of the [nbl, nbins] raw cross power
+    completes the integration.  Collective traffic per block drops from
+    O(num_samp) (corner turn) to O(nbl*nbins) + the (ntaps-1)-row halo.
     """
     ntaps = int(window2d.shape[0])
     if window2d.shape[1] != nbins:
@@ -91,6 +175,14 @@ def make_sharded_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
 
     # ------------------------------------------------------------------
     if impl == "planes":
+        from fxtpu.fx import _resolve_fused
+        s_loc = s_rows // n_shards
+        use_fused = _resolve_fused(fused, nbins, ntaps, s_loc)
+        if use_fused:
+            return _make_fused_sharded_step(
+                mode=mode, nbins=nbins, w2d=w2d, pairs=pairs_a,
+                bandwidth=bandwidth, frequency=frequency, mesh=mesh,
+                num_samp=num_samp, ntaps=ntaps)
 
         def local_fx(rows: Cplx, delays, history: Cplx):
             # rows: [nch, S_loc, nbins] planes; history: [nch, ntaps-1, nbins]

@@ -31,6 +31,28 @@ def _inputs(cfg, seed=0, d=3.3e-7):
     return eng, iq, delays, hist
 
 
+@pytest.mark.parametrize("t,f", [(4, 2), (8, 1)])
+@pytest.mark.parametrize("mode", ["SPECTRUM", "CONTINUUM"])
+def test_fused_sharded_matches_single_device(t, f, mode):
+    """The fused-kernel sharded step (per-shard Pallas FX, halo ppermute,
+    ONE psum of raw cross power — no corner turn) == the single-device
+    step, streaming history included."""
+    cfg = _cfg(mode=mode)
+    eng1, iq, delays, hist = _inputs(cfg)
+    v1, h1 = eng1.step(iq, delays, hist)
+    mesh = make_correlator_mesh(t, f)
+    engm = FxEngine(cfg, mesh=mesh, fused=True)
+    vm, hm = engm.step(iq, delays, hist)
+    scale = np.abs(as_c(v1)).max()
+    np.testing.assert_allclose(as_c(vm), as_c(v1), atol=2e-5 * scale)
+    np.testing.assert_allclose(as_c(hm), as_c(h1), atol=1e-6)
+    # streaming: second block continues from the exchanged history
+    eng2, iq2, _, _ = _inputs(cfg, seed=7)
+    v1b, _ = eng1.step(iq2, delays, h1)
+    vmb, _ = engm.step(iq2, delays, hm)
+    np.testing.assert_allclose(as_c(vmb), as_c(v1b), atol=2e-5 * scale)
+
+
 @pytest.mark.parametrize("t,f", [(8, 1), (4, 2), (2, 4), (1, 8), (2, 2)])
 @pytest.mark.parametrize("mode", ["SPECTRUM", "CONTINUUM"])
 def test_sharded_matches_single_device(t, f, mode):
