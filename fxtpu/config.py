@@ -66,6 +66,9 @@ class CorrelatorConfig:
                                    # (reference is complex128 end-to-end,
                                    #  effex.py:109-110; see SURVEY.md "hard parts")
     clamp_num_samp: bool = True    # clamp to [2^8, 2^18] like effex.py:277-284
+    fused: object = "auto"         # fused Pallas FX kernel: 'auto' (TPU +
+                                   # supported shallow-tap shapes), True
+                                   # (force when supported), False (XLA path)
 
     # --- source selection ----------------------------------------------------
     source: str = "synthetic"      # synthetic | replay | rtlsdr

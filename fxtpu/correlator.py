@@ -147,7 +147,7 @@ class Correlator:
         self.stager = None  # DeviceStager, started on first RUN entry
 
         # --- compute engine (F+X, device side) ---------------------------
-        self.engine = FxEngine(config, mesh=mesh)
+        self.engine = FxEngine(config, mesh=mesh, fused=config.fused)
         self.history = self.engine.fresh_history()
 
         # --- science data (effex.py:129-141) ------------------------------

@@ -308,6 +308,51 @@ class TestFusedPallas:
         np.testing.assert_allclose(to_complex(hf), to_complex(hu),
                                    atol=1e-6)
 
+    def test_fused_nchan3_all_baselines(self):
+        """Odd channel counts + multiple baselines through the fused
+        kernel's in-kernel X loop."""
+        cfg = CorrelatorConfig(mode="SPECTRUM", num_samp=2**13, nbins=256,
+                               nchan=3, clamp_num_samp=False)
+        rng = np.random.default_rng(11)
+        x = (rng.normal(size=(3, cfg.num_samp))
+             + 1j * rng.normal(size=(3, cfg.num_samp))).astype(np.complex64)
+        # sub-cycle delays: at multi-cycle fc*d the two paths round the f32
+        # phase argument differently (the fused difference-phase is the
+        # more accurate one); parity here checks the MATH, not trig ulps
+        delays = jnp.asarray([0.0, 2e-11, -1e-11], jnp.float32)
+        eng_u = FxEngine(cfg, fused=False)
+        eng_f = FxEngine(cfg, fused=True)
+        vu, _ = eng_u.step(eng_u.prepare_block(x), delays,
+                           eng_u.fresh_history())
+        vf, _ = eng_f.step(eng_f.prepare_block(x), delays,
+                           eng_f.fresh_history())
+        assert vu.shape == vf.shape == (3, 256)  # 3 baselines, no autos
+        scale = np.abs(to_complex(vu)).max()
+        np.testing.assert_allclose(to_complex(vf), to_complex(vu),
+                                   atol=2e-5 * scale)
+
+    def test_fused_correlator_test_mode_fringe(self, tmp_path):
+        """TEST-mode sweep end-to-end through the fused engine (config
+        passthrough): the rotation-after-integration formulation must
+        reproduce the fringe pattern the physics oracle expects."""
+        from fxtpu.correlator import Correlator
+        from fxtpu.products import load_products
+        cfg = CorrelatorConfig(
+            mode="TEST", num_samp=2**13, nbins=256, run_time=1,
+            clamp_num_samp=False, loglevel="ERROR", fused=True,
+            synthetic_snr=100, test_sweep_step=1e-7, test_offset_steps=4,
+            output_file=str(tmp_path / "vis.csv"))
+        cor = Correlator(config=cfg)
+        assert cor.engine.fused_active
+        cor.run_state_machine()
+        _, data = load_products(cor.output_file)
+        assert data.ndim == 1 and len(data) >= 6
+        # cal subtracted offset = 4 sweep steps; the sweep re-adds one step
+        # per block, so the fringe peak (residual delay ~ 0) lands at block
+        # index offset_steps - 1 = 3
+        amps = np.abs(data)
+        assert abs(int(np.argmax(amps)) - 3) <= 1
+
     def test_unsupported_shapes_fall_back(self):
         from fxtpu.ops.pfb_pallas import supported
         assert not supported(256, 1, 32)      # ntaps < 2
