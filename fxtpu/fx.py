@@ -174,7 +174,7 @@ def make_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
         return make_sharded_fx_step(
             mode=mode, nbins=nbins, window2d=window2d, pairs=pairs,
             bandwidth=bandwidth, frequency=frequency, mesh=mesh,
-            num_samp=num_samp, impl=impl)
+            num_samp=num_samp, impl=impl, fused=fused)
 
     ntaps = int(window2d.shape[0])
     s_rows = num_samp // nbins

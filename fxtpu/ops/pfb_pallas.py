@@ -15,7 +15,8 @@ Two kernels live here:
     1. FSTC rotation COMMUTES with frame integration
        (sum_f (rot_p s_p)(rot_q s_q)* = rot_p rot_q* sum_f s_p s_q*),
        so the kernel accumulates RAW cross power and rotation/fftshift/
-       continuum act on the tiny [nbl, nbins] visibility outside;
+       continuum — and the post-hoc DC correction — act on the tiny
+       [nbl, nbins] visibility outside;
     2. Mosaic dots are DEFAULT (1-pass bf16) or HIGHEST (6-pass) only —
        every f32 matmul here is a manual 3-pass bf16 SPLIT
        (x ~ hi + lo; x@M ~ hi@Mh + hi@Ml + lo@Mh, f32 accumulation),
@@ -62,7 +63,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fxtpu.ops.cfft import _dft_mats, _twiddle
-from fxtpu.ops.cplx import Cplx
+from fxtpu.ops.cplx import Cplx, cmulconj, conj as cconj
 
 # Mosaic supports only DEFAULT (1-pass bf16) or HIGHEST (6-pass, ~f32)
 # dot precision in-kernel; numerics need better than bf16.
@@ -293,19 +294,29 @@ def _cdot3(xr, xi, mc_hi, mc_lo, ms_hi, ms_lo):
     out_im = _dot3(xr_hi, xr_lo, ms_hi, ms_lo) \
         + _dot3(xi_hi, xi_lo, mc_hi, mc_lo)
     return out_re, out_im
-
-def _fx_kernel(xre_ref, xim_ref, hist_ref, mean_ref, w_ref, m1h_ref,
+def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                m1l_ref, twc_ref, tws_ref, m2h_ref, m2l_ref,
-               out_ref, hout_ref, slab, hist_s, sems,
+               out_ref, tout_ref, uout_ref, sout_ref, hout_ref,
+               slab, hist_s, sums_s, sems,
                *, tile: int, ntaps: int, n1: int, n2: int,
                n_tiles: int, nch: int, k_blocks: int, pairs):
     """Grid (K, n_tiles), sequential.  Per program: DMA one slab of PFB
-    rows (double-buffered, prefetching the NEXT program's slab), DC-correct,
-    FIR, transpose-free 2-stage split-bf16 FFT, and accumulate raw cross
-    power per baseline into this block's output tile.  Tap history crosses
-    block boundaries through the `hist_s` VMEM scratch — no HBM round trip
-    and no lax.scan (whose per-iteration input dynamic-slice costs a full
-    HBM copy of the block)."""
+    rows (double-buffered, prefetching the NEXT program's slab), FIR,
+    transpose-free 2-stage split-bf16 FFT, and accumulate per block:
+
+      * raw cross power per baseline           (out_ref  [1, nbl, 2, n1, n2])
+      * per-channel spectral sums over frames  (tout_ref [1, nch, 2, n1, n2])
+      * the first ntaps-1 frames' spectra      (uout_ref, captured at t==0)
+      * per-channel raw sample sums            (sout_ref [1, 8, 128]:
+        row 0, lane 2c / 2c+1 = re / im sum)
+
+    which is EVERYTHING the caller needs to apply the DC-spike correction
+    post-hoc (see _dc_correct) — so the block mean no longer gates the
+    kernel and the input is read exactly once.  Tap history crosses block
+    boundaries through the `hist_s` VMEM scratch (the RAW tail; corrected
+    outside before it leaves as the step's history output) — no HBM round
+    trip and no lax.scan (whose per-iteration input dynamic-slice costs a
+    full HBM copy of the block)."""
     k = pl.program_id(0)
     t = pl.program_id(1)
     g = k * n_tiles + t
@@ -377,25 +388,27 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, mean_ref, w_ref, m1h_ref,
         for cp in head_copies(nk, nxt):
             cp.start()
 
-    # ---- t == 0: slab front <- carried history (already DC-corrected) ----
+    # ---- t == 0: slab front <- carried history --------------------------
     @pl.when(t == 0)
     def _():
         for c in range(nch):
             slab[buf, c, 0, :pad] = hist_s[c, 0]
             slab[buf, c, 1, :pad] = hist_s[c, 1]
 
-    # ---- DC correction + FIR + FFT per channel ----------------------------
-    # current-block rows get mean[k] subtracted; the first tile's pad rows
-    # are carried history (already corrected) and are exempt
-    row_is_data = (jax.lax.broadcasted_iota(
-        jnp.int32, (tile + pad, 1), 0) >= pad).astype(jnp.float32)
-    correct = jnp.where(t == 0, row_is_data, jnp.ones_like(row_is_data))
+    # ---- FIR + FFT per channel (raw — DC handled post-hoc) ----------------
     off = pad - halo
     kw = dict(preferred_element_type=jnp.float32)
     spec = []
+    ssum = jnp.zeros((8, 128), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     for c in range(nch):
-        plane_re = slab[buf, c, 0] - mean_ref[k, c, 0] * correct
-        plane_im = slab[buf, c, 1] - mean_ref[k, c, 1] * correct
+        plane_re = slab[buf, c, 0]
+        plane_im = slab[buf, c, 1]
+        # raw sample sums over THIS tile's own data rows only
+        sr = jnp.sum(plane_re[pad:])
+        si = jnp.sum(plane_im[pad:])
+        ssum = ssum + jnp.where(lane == 2 * c, sr, 0.0) \
+            + jnp.where(lane == 2 * c + 1, si, 0.0)
         fir_re = w_ref[0] * plane_re[off:off + tile]
         fir_im = w_ref[0] * plane_im[off:off + tile]
         for tap in range(1, ntaps):
@@ -434,16 +447,52 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, mean_ref, w_ref, m1h_ref,
         # tiny integrated visibility is gathered to natural order outside)
         spec.append((cr, ci))
 
-    # ---- save DC-corrected tail as next block's history -------------------
+    # ---- per-channel accumulators for the post-hoc DC correction ----------
+    for c in range(nch):
+        cr, ci = spec[c]
+        t_re = jnp.sum(cr, axis=0)
+        t_im = jnp.sum(ci, axis=0)
+
+        @pl.when(t == 0)
+        def _(c=c, t_re=t_re, t_im=t_im, cr=cr, ci=ci):
+            tout_ref[0, c, 0] = t_re
+            tout_ref[0, c, 1] = t_im
+            # first ntaps-1 frames: the only ones whose FIR reaches into
+            # the (already-corrected) stream history
+            uout_ref[0, c, 0] = cr[:halo].reshape(halo * n1, n2)
+            uout_ref[0, c, 1] = ci[:halo].reshape(halo * n1, n2)
+
+        @pl.when(t != 0)
+        def _(c=c, t_re=t_re, t_im=t_im):
+            tout_ref[0, c, 0] += t_re
+            tout_ref[0, c, 1] += t_im
+
+    @pl.when(t == 0)
+    def _():
+        sums_s[...] = ssum
+
+    @pl.when(t != 0)
+    def _():
+        sums_s[...] += ssum
+
+    # ---- at the block's last tile: emit the sums and save the tail --------
+    # The tail is DC-CORRECTED here with the block's own mean (the full
+    # sample sums are complete by now), preserving the corrected-tail
+    # history invariant the next block's post-hoc algebra assumes.
     @pl.when(t == n_tiles - 1)
     def _():
+        sout_ref[0] = sums_s[...]
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        inv_n = 1.0 / (8.0 * n_tiles * tile * (n1 * n2))
         for c in range(nch):
+            mu_re = jnp.sum(jnp.where(lane2 == 2 * c, sums_s[...], 0.0)
+                            ) * inv_n
+            mu_im = jnp.sum(jnp.where(lane2 == 2 * c + 1, sums_s[...], 0.0)
+                            ) * inv_n
             hist_s[c, 0, pad - halo:] = (
-                slab[buf, c, 0, pad + tile - halo:]
-                - mean_ref[k, c, 0])
+                slab[buf, c, 0, pad + tile - halo:] - mu_re)
             hist_s[c, 1, pad - halo:] = (
-                slab[buf, c, 1, pad + tile - halo:]
-                - mean_ref[k, c, 1])
+                slab[buf, c, 1, pad + tile - halo:] - mu_im)
 
     @pl.when((k == k_blocks - 1) & (t == n_tiles - 1))
     def _():
@@ -468,11 +517,12 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, mean_ref, w_ref, m1h_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("nbins", "tile", "pairs_t"))
-def _fx_call(x_re, x_im, hist_stacked, means, w2d, nbins: int, tile: int,
+def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
              pairs_t):
     interpret = jax.default_backend() != "tpu"
     k_blocks, nch, s_rows, _ = x_re.shape
     ntaps = w2d.shape[0]
+    halo = ntaps - 1
     n1, n2 = _kernel_factor(nbins)
     c1, s1 = _dft_mats(n1, False)
     c2, s2 = _dft_mats(n2, False)
@@ -509,7 +559,6 @@ def _fx_call(x_re, x_im, hist_stacked, means, w2d, nbins: int, tile: int,
             pl.BlockSpec(memory_space=pltpu.ANY),    # x re (manual DMA)
             pl.BlockSpec(memory_space=pltpu.ANY),    # x im (manual DMA)
             pl.BlockSpec(memory_space=pltpu.ANY),    # history0 (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # means [K, nch, 2]
             vmem,                                    # window [ntaps, nbins]
             vmem, vmem,                              # stage-1 mat hi/lo
             vmem, vmem,                              # twiddle cos/sin f32
@@ -517,18 +566,30 @@ def _fx_call(x_re, x_im, hist_stacked, means, w2d, nbins: int, tile: int,
         ],
         out_specs=(
             pl.BlockSpec((1, nbl, 2, n1, n2), lambda k, t: (k, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM),   # raw cross power
+            pl.BlockSpec((1, nch, 2, n1, n2), lambda k, t: (k, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),   # spectral sums T
+            pl.BlockSpec((1, nch, 2, halo * n1, n2),
+                         lambda k, t: (k, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),   # first-frame spectra U
+            pl.BlockSpec((1, 8, 128), lambda k, t: (k, 0, 0),
+                         memory_space=pltpu.VMEM),   # raw sample sums
             pl.BlockSpec((nch, 2, pad, nbins), lambda k, t: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),   # final history
+                         memory_space=pltpu.VMEM),   # final RAW tail
         ),
         out_shape=(
             jax.ShapeDtypeStruct((k_blocks, nbl, 2, n1, n2), jnp.float32),
+            jax.ShapeDtypeStruct((k_blocks, nch, 2, n1, n2), jnp.float32),
+            jax.ShapeDtypeStruct((k_blocks, nch, 2, halo * n1, n2),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((k_blocks, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((nch, 2, pad, nbins), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, nch, 2, tile + _halo_pad(ntaps), nbins),
                        jnp.float32),
             pltpu.VMEM((nch, 2, pad, nbins), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         # deep-tap/wideband shapes need a bigger slab than the 16 MB
@@ -536,7 +597,7 @@ def _fx_call(x_re, x_im, hist_stacked, means, w2d, nbins: int, tile: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x_re, x_im, hist_stacked, means, w2d, m1h, m1l,
+    )(x_re, x_im, hist_stacked, w2d, m1h, m1l,
       jnp.asarray(np.ascontiguousarray(twc)),
       jnp.asarray(np.ascontiguousarray(tws)), m2h, m2l)
 
@@ -549,42 +610,78 @@ def _fx_perm(nbins: int) -> np.ndarray:
     return (b % n1) * n2 + b // n1
 
 
-def fx_pallas_raw_multi(x: Cplx, w2d, nbins: int, history: Cplx, pairs,
-                        means=None):
-    """Fused DC + PFB + FFT + X for a STACK of blocks in one kernel launch:
-    ``x [K, nch, nsamp]`` -> (raw_xpower [K, nbl, nbins] SUM over frames,
-    natural bin order, new_history).
+@functools.lru_cache(maxsize=32)
+def _dc_constants(w_key, nbins: int, s_rows: int):
+    """Host f64 constants for the post-hoc DC correction.
 
-    ``means`` overrides the DC means ([K, nch, 2] re/im): pass the
-    GLOBAL per-channel means when each kernel instance sees only a shard
-    of the block (the sharded path), or host-precomputed means to skip
-    the in-graph reduction pass.
+    DC removal perturbs each corrected FIR frame by mu * A[f] where
+    A[f] = FFT(W_hi[f]) and W_hi[f][b] = sum of window taps whose input
+    row lies in the CURRENT block — the full column sum W-bar for interior
+    frames (f >= ntaps-1), partial for the first ntaps-1 frames (their
+    remaining taps read the already-corrected carried history).  Returns
+    (Abar [nbins] c64-as-planes, dA [halo, nbins] = A_j - Abar,
+     Cs [nbins] real = sum_f |A[f]|^2), natural bin order, f32 planes.
+    """
+    w2d = np.asarray(w_key, np.float64).reshape(-1, nbins)
+    ntaps = w2d.shape[0]
+    halo = ntaps - 1
+    wbar = w2d.sum(axis=0)
+    abar = np.fft.fft(wbar)
+    a_j = np.stack([np.fft.fft(w2d[ntaps - 1 - j:].sum(axis=0))
+                    for j in range(halo)])      # [halo, nbins]
+    cs = (s_rows - halo) * np.abs(abar) ** 2 + (np.abs(a_j) ** 2).sum(0)
+    da = a_j - abar
+    # return HOST numpy (the lru_cache must never hold traced values)
+    f32 = lambda a: np.ascontiguousarray(a.astype(np.float32))
+    return (Cplx(f32(abar.real), f32(abar.imag)),
+            Cplx(f32(da.real), f32(da.imag)),
+            f32(cs))
 
-    'Raw' = no FSTC rotation, no frame-mean normalization, no fftshift —
-    the caller applies ``rot_p conj(rot_q) / n_frames`` per block and the
-    shift on these tiny arrays (the rotation commutes with the frame sum;
-    see module notes).  History contract identical to the planes path:
-    in/out is the DC-corrected previous-block tail.
 
-    ``x`` may arrive pre-framed as ``[K, nch, S, nbins]`` 4-D planes —
-    STRONGLY preferred for device-resident inputs: reshaping a device
-    ``[K, nch, nsamp]`` array into frames is a tiled-LAYOUT change that
-    costs a full HBM round trip (~82 us/block at the flagship shape),
-    while the host-side numpy reshape before upload is free."""
+def _dc_correct(xp: Cplx, T: Cplx, U: Cplx, mu: Cplx, pairs_np,
+                consts, s_rows: int) -> Cplx:
+    """Apply the DC-spike correction to the raw frame-summed cross power.
+
+    With s'_c[f] = s_c[f] - mu_c A[f]:
+      sum_f s'_p s'_q* = xp - mu_q* G_p - mu_p conj(G_q) + mu_p mu_q* Cs,
+      G_c = Abar* T_c + sum_j U_c[j] (A_j - Abar)*.
+    All arrays are tiny ([K, ..., nbins], natural order)."""
+    abar, da, cs = consts
+    # G_c = conj(Abar) * T_c + sum_j U_c[j] * conj(dA[j])   [K, nch, nbins]
+    g = cmulconj(T, Cplx(abar.re[None, None], abar.im[None, None]))
+    gj = cmulconj(U, Cplx(da.re[None, None], da.im[None, None]))
+    g = Cplx(g.re + gj.re.sum(axis=2), g.im + gj.im.sum(axis=2))
+    p_idx = pairs_np[:, 0]
+    q_idx = pairs_np[:, 1]
+    mu_p = Cplx(mu.re[:, p_idx, None], mu.im[:, p_idx, None])
+    mu_q = Cplx(mu.re[:, q_idx, None], mu.im[:, q_idx, None])
+    g_p = Cplx(g.re[:, p_idx], g.im[:, p_idx])
+    g_q = Cplx(g.re[:, q_idx], g.im[:, q_idx])
+    t2 = cmulconj(g_p, mu_q)               # mu_q* G_p
+    t3 = cconj(cmulconj(g_q, mu_p))        # mu_p conj(G_q)
+    t4 = cmulconj(mu_p, mu_q)              # mu_p mu_q*
+    return Cplx(xp.re - t2.re - t3.re + t4.re * cs[None, None],
+                xp.im - t2.im - t3.im + t4.im * cs[None, None])
+
+
+def fx_pallas_parts(x: Cplx, w2d, nbins: int, history: Cplx, pairs):
+    """Run the fused kernel and return its RAW accumulators in natural bin
+    order (pre-DC-correction) — the building block shared by the
+    single-device wrapper and the sharded path (which must psum the parts
+    across shards BEFORE correcting):
+
+      (xp_raw [K, nbl, nbins], T [K, nch, nbins], U [K, nch, halo, nbins],
+       mu [K, nch] complex means, tail [nch, ntaps-1, nbins] — already
+       DC-corrected with the last block's own mean in-kernel)
+    """
     ntaps = int(w2d.shape[0])
+    halo = ntaps - 1
     if x.re.ndim == 4:
         k_blocks, nch, s_rows, _ = x.re.shape
         rows_re, rows_im = x.re, x.im
-        if means is None:
-            means = jnp.stack([jnp.mean(rows_re, axis=(-2, -1)),
-                               jnp.mean(rows_im, axis=(-2, -1))], axis=-1)
     else:
         k_blocks, nch, nsamp = x.shape
         s_rows = nsamp // nbins
-        if means is None:
-            means = jnp.stack([jnp.mean(x.re, axis=-1),
-                               jnp.mean(x.im, axis=-1)],
-                              axis=-1)  # [K, nch, 2]
         rows_re = x.re[..., : s_rows * nbins].reshape(
             k_blocks, nch, s_rows, nbins)
         rows_im = x.im[..., : s_rows * nbins].reshape(
@@ -594,32 +691,66 @@ def fx_pallas_raw_multi(x: Cplx, w2d, nbins: int, history: Cplx, pairs,
         raise ValueError(f"unsupported shape: S={s_rows}, ntaps={ntaps}")
     pad = _halo_pad(ntaps)
     hist = jnp.stack([history.re, history.im], axis=1).astype(jnp.float32)
-    hist = jnp.pad(hist, ((0, 0), (0, 0), (pad - (ntaps - 1), 0), (0, 0)))
+    hist = jnp.pad(hist, ((0, 0), (0, 0), (pad - halo, 0), (0, 0)))
     pairs_t = tuple((int(p), int(q)) for p, q in np.asarray(pairs))
-    out, hist_out = _fx_call(rows_re.astype(jnp.float32),
-                             rows_im.astype(jnp.float32), hist,
-                             means.astype(jnp.float32),
-                             jnp.asarray(w2d, jnp.float32), nbins, tile,
-                             pairs_t)
+    out, tsum, ufr, ssum, hist_out = _fx_call(
+        rows_re.astype(jnp.float32), rows_im.astype(jnp.float32), hist,
+        jnp.asarray(w2d, jnp.float32), nbins, tile, pairs_t)
+    inv = jnp.asarray(_fx_perm(nbins))
     nbl = out.shape[1]
-    inv = _fx_perm(nbins)
-    flat = out.reshape(k_blocks, nbl, 2, nbins)
-    nat = jnp.take(flat, jnp.asarray(inv), axis=-1)
-    xp = Cplx(nat[:, :, 0], nat[:, :, 1])
-    new_hist = Cplx(hist_out[:, 0, pad - (ntaps - 1):],
-                    hist_out[:, 1, pad - (ntaps - 1):])
-    return xp, new_hist
+
+    def nat(a, lead):
+        flat = a.reshape(*lead, 2, nbins)
+        taken = jnp.take(flat, inv, axis=-1)
+        return Cplx(taken[..., 0, :], taken[..., 1, :])
+
+    xp = nat(out, (k_blocks, nbl))
+    T = nat(tsum, (k_blocks, nch))
+    # U arrives as [K, nch, 2, halo*n1, n2] with frame-major rows
+    n1, n2 = _kernel_factor(nbins)
+    U = nat(ufr.reshape(k_blocks, nch, 2, halo, n1, n2
+                        ).swapaxes(2, 3).reshape(k_blocks, nch * halo, 2,
+                                                 nbins),
+            (k_blocks, nch * halo))
+    U = Cplx(U.re.reshape(k_blocks, nch, halo, nbins),
+             U.im.reshape(k_blocks, nch, halo, nbins))
+    scale = 1.0 / (s_rows * nbins)
+    lanes = ssum[:, 0]  # [K, 128]: lane 2c/2c+1 = re/im sum for channel c
+    mu = Cplx(lanes[:, 0:2 * nch:2] * scale,
+              lanes[:, 1:2 * nch + 1:2] * scale)   # [K, nch]
+    tail = Cplx(hist_out[:, 0, pad - halo:], hist_out[:, 1, pad - halo:])
+    return xp, T, U, mu, tail, s_rows
 
 
-def fx_pallas_raw(x: Cplx, w2d, nbins: int, history: Cplx, pairs,
-                  means=None):
+def fx_pallas_raw_multi(x: Cplx, w2d, nbins: int, history: Cplx, pairs):
+    """Fused DC + PFB + FFT + X for a STACK of blocks in one kernel launch:
+    ``x [K, nch, nsamp]`` (or pre-framed ``[K, nch, S, nbins]`` — STRONGLY
+    preferred for device inputs; a device reframe is a tiled-layout HBM
+    round trip) -> (xpower [K, nbl, nbins] SUM over frames, natural bin
+    order, DC-corrected, new_history).
+
+    The DC-spike removal is applied POST-HOC from accumulators the kernel
+    gathers in its single pass (see _fx_kernel/_dc_correct), so the input
+    is read exactly once — no separate mean pass.  'xpower' has no FSTC
+    rotation / frame-mean normalization / fftshift: the caller applies
+    ``rot_p conj(rot_q) / n_frames`` per block and the shift on these tiny
+    arrays (rotation commutes with the frame sum; see module notes).
+    History contract identical to the planes path: in/out is the
+    DC-corrected previous-block tail."""
+    pairs_np = np.asarray(pairs)
+    xp, T, U, mu, tail, s_rows = fx_pallas_parts(x, w2d, nbins, history,
+                                                 pairs)
+    consts = _dc_constants(tuple(np.asarray(w2d, np.float64).ravel()),
+                           nbins, s_rows)
+    xp = _dc_correct(xp, T, U, mu, pairs_np, consts, s_rows)
+    return xp, tail  # tail already DC-corrected in-kernel
+
+
+def fx_pallas_raw(x: Cplx, w2d, nbins: int, history: Cplx, pairs):
     """Single-block wrapper over :func:`fx_pallas_raw_multi` (2-D
-    ``[nch, nsamp]`` or pre-framed 3-D ``[nch, S, nbins]`` planes;
-    optional ``means`` [nch, 2])."""
+    ``[nch, nsamp]`` or pre-framed 3-D ``[nch, S, nbins]`` planes)."""
     xk = Cplx(x.re[None], x.im[None])
-    xp, new_hist = fx_pallas_raw_multi(
-        xk, w2d, nbins, history, pairs,
-        means=None if means is None else means[None])
+    xp, new_hist = fx_pallas_raw_multi(xk, w2d, nbins, history, pairs)
     return Cplx(xp.re[0], xp.im[0]), new_hist
 
 

@@ -55,57 +55,76 @@ def _make_fused_sharded_step(*, mode: str, nbins: int, w2d, pairs,
                              mesh: jax.sharding.Mesh, num_samp: int,
                              ntaps: int):
     """Sharded step around the fused full-step Pallas kernel: every shard
-    runs DC+FIR+FFT+X on its local frames (kernel ``history`` input = the
-    ppermute'd halo), then ONE psum of the tiny [nbl, 2, nbins] raw cross
-    power integrates across the mesh — no corner turn (see
-    make_sharded_fx_step docstring)."""
+    runs FIR+FFT+X on its local frames (kernel ``history`` input = the
+    ppermute'd RAW halo), the kernel's post-hoc DC accumulators are
+    psum'd across the mesh, and the correction + rotation act on the tiny
+    global arrays — no corner turn (see make_sharded_fx_step docstring).
+
+    DC classes under sharding: a shard s>0's first frames mix the left
+    neighbor's RAW rows — every tap carries the CURRENT block's mean, so
+    they are interior-class; only shard 0's first ``ntaps-1`` frames (the
+    ones reaching into the corrected stream history) are special, hence
+    the U accumulator is masked to shard 0 before the psum."""
     from fxtpu.fx import _finish_fused
-    from fxtpu.ops.pfb_pallas import fx_pallas_raw
+    from fxtpu.ops.pfb_pallas import (_dc_constants, _dc_correct,
+                                      fx_pallas_parts)
 
     t_sz = mesh.shape[TIME_AXIS]
     f_sz = mesh.shape[FREQ_AXIS]
     n_shards = t_sz * f_sz
     s_rows = num_samp // nbins
+    halo = ntaps - 1
     pairs_np = np.asarray(pairs)
     continuum = mode in ("CONTINUUM", "TEST")
     w2dj = jnp.asarray(w2d, jnp.float32)
 
-    def local_fx(rows: Cplx, delays, history: Cplx, means):
+    def local_fx(rows: Cplx, history: Cplx):
         # rows: [nch, S_loc, nbins] framed planes (this shard's frames)
-        # halo: DC-corrected trailing rows to the right neighbor (the
-        # kernel's history contract is the corrected tail)
-        m_re = means[:, 0][:, None, None]
-        m_im = means[:, 1][:, None, None]
-        tail = Cplx(rows.re[:, -(ntaps - 1):] - m_re,
-                    rows.im[:, -(ntaps - 1):] - m_im)
+        tail_raw = Cplx(rows.re[:, -halo:], rows.im[:, -halo:])
         if n_shards > 1:
             idx = lax.axis_index(AXES)
             prev = unstack(lax.ppermute(
-                stack(tail), AXES, [(i, i + 1) for i in range(n_shards - 1)]))
+                stack(tail_raw), AXES,
+                [(i, i + 1) for i in range(n_shards - 1)]))
             prev = Cplx(jnp.where(idx == 0, history.re, prev.re),
                         jnp.where(idx == 0, history.im, prev.im))
-            new_hist = unstack(lax.psum(
-                jnp.where(idx == n_shards - 1, stack(tail),
-                          jnp.zeros_like(stack(tail))), AXES))
         else:
-            prev, new_hist = history, tail
-        xp, _ = fx_pallas_raw(rows, w2dj, nbins, prev, pairs_np,
-                              means=means)
-        xp = unstack(lax.psum(stack(xp), AXES))  # total raw cross power
-        return xp, new_hist
+            idx = 0
+            prev = history
+        xk = Cplx(rows.re[None], rows.im[None])
+        xp, T, U, mu, _, _ = fx_pallas_parts(xk, w2dj, nbins, prev,
+                                             pairs_np)
+        # global accumulators: psum everything; U masked to shard 0 (the
+        # only special-class frames); stream tail from the last shard
+        mask0 = (idx == 0).astype(jnp.float32) if n_shards > 1 else 1.0
+        xp_g = unstack(lax.psum(stack(xp), AXES))
+        T_g = unstack(lax.psum(stack(T), AXES))
+        U_g = unstack(lax.psum(stack(U) * mask0, AXES))
+        # local means are over equal-sized shards: global mean = pmean
+        mu_g = Cplx(lax.psum(mu.re, AXES) / n_shards,
+                    lax.psum(mu.im, AXES) / n_shards)
+        if n_shards > 1:
+            tail_g = unstack(lax.psum(
+                jnp.where(idx == n_shards - 1, stack(tail_raw),
+                          jnp.zeros_like(stack(tail_raw))), AXES))
+        else:
+            tail_g = tail_raw
+        return xp_g, T_g, U_g, mu_g, tail_g
 
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
     # annotation, which the shard_map checker requires otherwise
     sharded = jax.shard_map(
         local_fx, mesh=mesh,
-        in_specs=(P(None, AXES, None), P(), P(), P()),
-        out_specs=(P(), P()),
+        in_specs=(P(None, AXES, None), P()),
+        out_specs=(P(), P(), P(), P(), P()),
         check_vma=False,
     )
 
+    consts = _dc_constants(tuple(np.asarray(w2d, np.float64).ravel()),
+                           nbins, s_rows)
+
     @jax.jit
     def step(iq: Cplx, delays, history: Cplx):
-        # global framing + global per-channel DC means (a sharded reduce)
         if iq.re.ndim == 2:
             rows = Cplx(
                 iq.re[:, : s_rows * nbins].reshape(-1, s_rows, nbins),
@@ -115,14 +134,15 @@ def _make_fused_sharded_step(*, mode: str, nbins: int, w2d, pairs,
         rows = jax.tree.map(
             lambda a: lax.with_sharding_constraint(
                 a, NamedSharding(mesh, P(None, AXES, None))), rows)
-        means = jnp.stack([jnp.mean(rows.re, axis=(-2, -1)),
-                           jnp.mean(rows.im, axis=(-2, -1))],
-                          axis=-1).astype(jnp.float32)
-        xp, new_hist = sharded(rows, jnp.asarray(delays), history, means)
+        xp, T, U, mu, tail_raw = sharded(rows, history)
+        xp = _dc_correct(xp, T, U, mu, pairs_np, consts, s_rows)
         vis = _finish_fused(xp, delays, pairs_np, nbins, s_rows,
                             bandwidth, frequency, continuum)
-        return vis, new_hist
+        new_hist = Cplx(tail_raw.re - mu.re[0][:, None, None],
+                        tail_raw.im - mu.im[0][:, None, None])
+        return vis[0], new_hist
 
+    step.fused_kernel = True  # introspectable (tests assert the path taken)
     return step
 
 

@@ -42,6 +42,7 @@ def test_fused_sharded_matches_single_device(t, f, mode):
     v1, h1 = eng1.step(iq, delays, hist)
     mesh = make_correlator_mesh(t, f)
     engm = FxEngine(cfg, mesh=mesh, fused=True)
+    assert getattr(engm.step, "fused_kernel", False)  # the path IS taken
     vm, hm = engm.step(iq, delays, hist)
     scale = np.abs(as_c(v1)).max()
     np.testing.assert_allclose(as_c(vm), as_c(v1), atol=2e-5 * scale)
