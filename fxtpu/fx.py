@@ -58,17 +58,18 @@ def _resolve_fused(fused, nbins, ntaps, s_rows) -> bool:
     """'auto' -> ON for supported SHALLOW-TAP shapes when running on TPU:
     the fused full-step Pallas kernel (DC+FIR+FFT+X in VMEM, transpose-free
     split-bf16 stages) measures 18.9 GS/s vs 10.4 for the XLA path at the
-    flagship 2ch/4-tap/4096-bin shape and 14.5 vs 5.7 at 8ch/36-baseline
-    (see ops/pfb_pallas.py) — but at 32 taps the in-kernel FIR and slab
-    dominate and the XLA path wins (5.4 vs 7.1 on the wideband config), so
-    'auto' caps at ntaps <= 8.  CPU runs Pallas only in slow interpret
-    mode, so 'auto' stays off there (tests opt in explicitly).  An explicit
-    fused=True forces the kernel for any supported shape."""
+    flagship 2ch/4-tap/4096-bin shape and 15.6 vs 5.7 at 8ch/36-baseline
+    (see ops/pfb_pallas.py); it still wins at 16 taps (9.3 vs 8.2) — but
+    at 32 taps the in-kernel FIR and slab dominate and the XLA path wins
+    (4.6 vs 6.8 on the wideband config), so 'auto' caps at ntaps <= 16.
+    CPU runs Pallas only in slow interpret mode, so 'auto' stays off there
+    (tests opt in explicitly).  An explicit fused=True forces the kernel
+    for any supported shape."""
     import jax
 
     from fxtpu.ops import pfb_pallas
     if fused == "auto":
-        fused = jax.default_backend() in ("tpu",) and ntaps <= 8
+        fused = jax.default_backend() in ("tpu",) and ntaps <= 16
     return bool(fused) and pfb_pallas.supported(nbins, ntaps, s_rows)
 
 
