@@ -464,8 +464,13 @@ class Correlator:
 
     def _run_task(self, iq):
         """One fused F+X step on the device; returns the visibility (still
-        on device — the writer thread forces the transfer)."""
-        delays = jnp.asarray(self.calibrated_delays, dtype=jnp.float32)
+        on device — the writer thread forces the transfer).  Delays go in
+        PACKED (delay, frac(fc*d)) form: the carrier cycles are reduced in
+        float64 host-side so the in-graph f32 phase is exact to ~1e-6 rad
+        (see ops.planes.pack_delays)."""
+        from fxtpu.ops.planes import pack_delays
+        delays = jnp.asarray(pack_delays(self.calibrated_delays,
+                                         self.frequency))
         vis, self.history = self.engine.step(iq, delays, self.history)
         if self.config.nchan == 2:
             vis = vis[0]  # reference-parity: one row per block
@@ -503,7 +508,8 @@ class Correlator:
             self._emit(self._run_task(iq))
 
     def _dispatch_multi(self, iq, k: int):
-        """One scanned K-block dispatch on already-prepared device input."""
+        """One K-block device dispatch on already-prepared input."""
+        from fxtpu.ops.planes import pack_delays
         delays_k = np.repeat(self.calibrated_delays[None], k, axis=0)
         if self.mode == "TEST":
             # per-block sweep advance inside the dispatch
@@ -511,7 +517,8 @@ class Correlator:
             delays_k[:, 1:] += steps[:, None]
             self.calibrated_delays[1:] += k * self.test_delay_sweep_step
         vis, self.history = self.engine.multi_step(
-            iq, jnp.asarray(delays_k, jnp.float32), self.history)
+            iq, jnp.asarray(pack_delays(delays_k, self.frequency)),
+            self.history)
         for i in range(k):
             v = vis[i]
             if self.config.nchan == 2:

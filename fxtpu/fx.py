@@ -81,15 +81,25 @@ def _finish_fused(xp: Cplx, delays, pairs_np, nbins: int, n_frames: int,
     rot_c = exp(+2pi j f d_c), the fstc_rotate_planes contract), fftshift,
     and the continuum reduction.  Works for single blocks
     (xp [nbl, nbins], delays [nch]) and stacks (xp [K, nbl, nbins],
-    delays [K, nch]) alike."""
+    delays [K, nch]) alike; delays may be the packed ``[..., nch, 2]``
+    form from :func:`~fxtpu.ops.planes.pack_delays` (full-precision
+    carrier phase)."""
     from fxtpu.ops.cplx import cfftshift
+    from fxtpu.ops.planes import _unpack_delays
+    d, frac = _unpack_delays(delays, xp.re.ndim - 1)
+    fbase = np.fft.fftfreq(nbins, d=1.0 / bandwidth)
     freqs = jnp.asarray(
-        (np.fft.fftfreq(nbins, d=1.0 / bandwidth) + frequency
+        (fbase if frac is not None else fbase + frequency
          ).astype(np.float32))
-    d = jnp.asarray(delays, jnp.float32)
     dd = jnp.take(d, pairs_np[:, 0], axis=-1) \
         - jnp.take(d, pairs_np[:, 1], axis=-1)        # [..., nbl]
-    phase = (2.0 * np.pi) * freqs * dd[..., None]     # [..., nbl, nbins]
+    if frac is not None:
+        ff = jnp.take(frac, pairs_np[:, 0], axis=-1) \
+            - jnp.take(frac, pairs_np[:, 1], axis=-1)
+        phase = (2.0 * np.pi) * (freqs * dd[..., None] + ff[..., None])
+    else:
+        # plain form: match the unfused path's evaluation order
+        phase = (2.0 * np.pi) * freqs * dd[..., None]  # [..., nbl, nbins]
     cp, sp = jnp.cos(phase), jnp.sin(phase)
     vis = Cplx((xp.re * cp - xp.im * sp) / n_frames,
                (xp.re * sp + xp.im * cp) / n_frames)

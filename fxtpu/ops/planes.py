@@ -80,22 +80,59 @@ def spectrometer_planes(x: Cplx, window2d, nbins: int,
     return f(fir), new_history
 
 
+def pack_delays(delays, frequency) -> np.ndarray:
+    """Host-side float64 packing of per-channel delays for full-precision
+    FSTC: ``[..., nch]`` seconds -> ``[..., nch, 2]`` of
+    ``(delay, frac(frequency * delay))``.
+
+    The ramp's phase ``2 pi f_RF d`` reaches thousands of cycles
+    (1.42 GHz x microsecond delays); evaluated from a plain f32 delay the
+    trig argument carries ~2.4e-4 rad of rounding.  With the carrier
+    cycles reduced modulo 1 in float64 on the host (delays change only at
+    (re)calibration — per block only in TEST mode — so this is off the
+    hot path), the in-graph argument is ``frac + f_base*d`` = O(1) cycles
+    and f32 trig is accurate to ~1e-6.  Every rotation consumer accepts
+    both forms."""
+    d = np.asarray(delays, np.float64)
+    frac = np.mod(frequency * d, 1.0)
+    return np.stack([d.astype(np.float32), frac.astype(np.float32)],
+                    axis=-1)
+
+
+def _unpack_delays(delays, nch_ndim: int):
+    """(d, frac_or_None): accepts plain [..., nch] or packed [..., nch, 2]
+    (``nch_ndim`` = the plain form's ndim)."""
+    d = jnp.asarray(delays, jnp.float32)
+    if d.ndim == nch_ndim + 1 and d.shape[-1] == 2:
+        return d[..., 0], d[..., 1]
+    return d, None
+
+
 def fstc_rotate_planes(spectra: Cplx, delays, bandwidth, frequency,
                        perm: Optional[np.ndarray] = None) -> Cplx:
     """Per-channel FSTC phase ramp exp(+2 pi j f_RF d_c) (see
     ops.xengine.fstc_rotate; effex.py:516-520 contract).
 
+    ``delays``: plain ``[nch]`` seconds, or the ``[nch, 2]`` packed form
+    from :func:`pack_delays` (full-precision carrier phase).
+
     ``perm``: bin permutation of the spectra layout (``cfft.ct_perm``) when
     the F-stage used :func:`~fxtpu.ops.cfft.fft_permuted` — the ramp is
     evaluated on the matching permuted RF frequency table (host-side)."""
     nbins = spectra.shape[-1]
-    fr = (np.fft.fftfreq(nbins, d=1.0 / bandwidth) + frequency
-          ).astype(np.float32)
+    d, frac = _unpack_delays(delays, 1)
+    fbase = np.fft.fftfreq(nbins, d=1.0 / bandwidth)
+    fr = (fbase if frac is not None else fbase + frequency).astype(np.float32)
     if perm is not None:
         fr = fr[perm]
     freqs = jnp.asarray(fr)
-    phase = (2.0 * np.pi) * freqs[None, :] \
-        * jnp.asarray(delays, jnp.float32)[:, None]
+    if frac is not None:
+        phase = (2.0 * np.pi) * (freqs[None, :] * d[:, None]
+                                 + frac[:, None])
+    else:
+        # plain form: keep the reference expression's evaluation order
+        # ((2*pi*f) * d) bit-for-bit with the complex-impl oracle
+        phase = (2.0 * np.pi) * freqs[None, :] * d[:, None]
     rot = cexp(phase)  # [nch, nbins]
     rot = Cplx(rot.re[:, None, :], rot.im[:, None, :])
     return cmul(spectra, rot)

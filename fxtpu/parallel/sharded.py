@@ -136,8 +136,10 @@ def _make_fused_sharded_step(*, mode: str, nbins: int, w2d, pairs,
                 a, NamedSharding(mesh, P(None, AXES, None))), rows)
         xp, T, U, mu, tail_raw = sharded(rows, history)
         xp = _dc_correct(xp, T, U, mu, pairs_np, consts, s_rows)
-        vis = _finish_fused(xp, delays, pairs_np, nbins, s_rows,
-                            bandwidth, frequency, continuum)
+        # xp carries a leading K=1 axis; give delays one too so the
+        # plain-vs-packed shape detection in _finish_fused lines up
+        vis = _finish_fused(xp, jnp.asarray(delays)[None], pairs_np, nbins,
+                            s_rows, bandwidth, frequency, continuum)
         new_hist = Cplx(tail_raw.re - mu.re[0][:, None, None],
                         tail_raw.im - mu.im[0][:, None, None])
         return vis[0], new_hist

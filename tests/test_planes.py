@@ -167,6 +167,44 @@ def test_permuted_pipeline_matches_default(monkeypatch, rng, mode):
                                atol=1e-6)
 
 
+def test_packed_delays_carrier_phase_precision(rng):
+    """pack_delays reduces the carrier cycles in float64 host-side: at a
+    microsecond delay (thousands of carrier cycles at 1.42 GHz) the
+    visibility phase from packed delays must track an f64 oracle ~2 orders
+    of magnitude tighter than the plain-f32-delay form."""
+    from fxtpu.ops.planes import pack_delays
+    cfg = CorrelatorConfig(mode="SPECTRUM", num_samp=2**13, nbins=256,
+                           clamp_num_samp=False)
+    d1 = 1.234567e-6  # ~1753 carrier cycles at 1.4204 GHz
+    block = (rng.normal(size=(2, cfg.num_samp))
+             + 1j * rng.normal(size=(2, cfg.num_samp))).astype(np.complex64)
+    eng = FxEngine(cfg)
+    iq = eng.prepare_block(block)
+
+    vis_plain, _ = eng.step(iq, jnp.asarray([0.0, d1], jnp.float32),
+                            eng.fresh_history())
+    vis_packed, _ = eng.step(
+        iq, jnp.asarray(pack_delays([0.0, d1], cfg.frequency)),
+        eng.fresh_history())
+
+    # f64 oracle: rotate the PLAIN-path's zero-delay visibility by the
+    # exact phase and compare phases
+    vis0, _ = eng.step(iq, jnp.zeros((2,), jnp.float32),
+                       eng.fresh_history())
+    f = np.fft.fftshift(np.fft.fftfreq(256, 1 / cfg.bandwidth)
+                        ) + cfg.frequency
+    want = to_complex(vis0)[0] * np.exp(-2j * np.pi * f * d1)
+
+    def phase_err(v):
+        e = np.angle(to_complex(v)[0] / want)
+        return np.abs(e).max()
+
+    err_plain = phase_err(vis_plain)
+    err_packed = phase_err(vis_packed)
+    assert err_packed < 1e-5
+    assert err_packed < err_plain / 20
+
+
 def test_calibrator_planes_matches_complex(rng):
     cfg = CorrelatorConfig(num_samp=2**14, nbins=256, clamp_num_samp=False)
     x = complex_noise(rng, cfg.num_samp, scale=1.0)
