@@ -98,7 +98,8 @@ def bench(block_pow: int = 21, nbins: int = 4096, nchan: int = 2,
 
 
 def bench_pipeline(block_pow: int = 21, nbins: int = 4096, nchan: int = 2,
-                   seconds: float = 12.0, blocks_per_dispatch: int = 8):
+                   seconds: float = 12.0, blocks_per_dispatch: int = 8,
+                   ingest: str = "complex64"):
     """End-to-end host pipeline rate: replayed source -> ring buffers ->
     aligner -> H2D -> fused step -> CSV rows (the sustained-streaming
     number, not just the kernel).  Reports the STEADY-STATE rate — the
@@ -124,6 +125,7 @@ def bench_pipeline(block_pow: int = 21, nbins: int = 4096, nchan: int = 2,
             loglevel="WARNING", source="replay", replay_file=rec,
             blocks_per_dispatch=blocks_per_dispatch,
             buffer_chunks=4 * blocks_per_dispatch,
+            ingest_dtype=ingest,
             output_file=f"{d}/vis.csv")
         # Warm every executable the run will use (single step, K-scan
         # multi step, calibrator) BEFORE the timed run — step builders are
@@ -137,7 +139,10 @@ def bench_pipeline(block_pow: int = 21, nbins: int = 4096, nchan: int = 2,
 
         eng = FxEngine(cfg)
         k = blocks_per_dispatch
-        arr = np.zeros((k, nchan, num_samp), np.complex64)
+        if ingest == "int8":
+            arr = np.zeros((k, nchan, num_samp, 2), np.int8)
+        else:
+            arr = np.zeros((k, nchan, num_samp), np.complex64)
         hist = eng.fresh_history()
         _, hist2 = eng.multi_step(eng.prepare_block(arr),
                                   jnp.zeros((k, nchan), jnp.float32), hist)
@@ -146,6 +151,7 @@ def bench_pipeline(block_pow: int = 21, nbins: int = 4096, nchan: int = 2,
         ncal = min(cfg.calibrate_samples, num_samp)
         jax.block_until_ready(
             eng.calibrate(eng.prepare_block(arr[0][:, :ncal])))
+        del arr
 
         cor = Correlator(config=cfg)
         cor.source.loop = True  # stream the recording for run_time seconds
@@ -180,13 +186,18 @@ def main(argv=None):
     p.add_argument("--pipeline", action="store_true",
                    help="measure the end-to-end host pipeline instead of "
                         "the device step")
+    p.add_argument("--ingest", default="complex64",
+                   choices=["complex64", "int8"],
+                   help="pipeline ingest dtype (int8 = 8-bit quantized)")
     p.add_argument("--iters", type=int, default=30)
     args = p.parse_args(argv)
 
     if args.pipeline:
-        res = bench_pipeline()
+        res = bench_pipeline(ingest=args.ingest)
         out = {
-            "metric": "2ch_end_to_end_pipeline_throughput",
+            "metric": ("2ch_end_to_end_pipeline_throughput"
+                       if args.ingest == "complex64"
+                       else "2ch_end_to_end_pipeline_throughput_int8"),
             "value": round(res["samples_per_s"], 1),
             "unit": "samples/s",
             "vs_baseline": round(

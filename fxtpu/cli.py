@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile_dir", default=None, type=str,
                         help="Write a jax.profiler trace of the run here "
                              "(view with TensorBoard/xprof).")
+    parser.add_argument("--ingest", default="complex64",
+                        choices=["complex64", "int8"],
+                        help="IQ ingest dtype: int8 streams 8-bit quantized "
+                             "samples through rings + H2D (4x fewer bytes; "
+                             "radio ADCs are 8-bit), dequantized on-device.")
     return parser
 
 
@@ -119,6 +124,7 @@ def main(argv=None):
         snapshot_every=args.snapshot_every,
         resume_from=args.resume_from,
         profile_dir=args.profile_dir,
+        ingest_dtype=args.ingest,
     )
 
     mesh = None

@@ -72,6 +72,12 @@ class CorrelatorConfig:
 
     # --- source selection ----------------------------------------------------
     source: str = "synthetic"      # synthetic | replay | rtlsdr
+    ingest_dtype: str = "complex64"  # complex64 | int8: int8 streams 8-bit
+                                     # quantized IQ through rings + H2D (4x
+                                     # fewer bytes end-to-end; radio ADCs
+                                     # are 8-bit anyway), dequantized
+                                     # on-device
+    quant_step: float = 1.0 / 32     # int8 ingest LSB size (x ~ q*step)
     replay_file: Optional[str] = None
     seed: int = 77777              # test-suite RNG seed parity (test_effex.py:10)
     synthetic_delay: float = 0.0   # true injected inter-channel delay (seconds)

@@ -135,11 +135,15 @@ class Correlator:
         self.start_time = -1.0
 
         # --- host buffering (effex.py:105-110): native C++ ring when the
-        # shared library is built, Python fallback otherwise ----------------
+        # shared library is built, Python fallback otherwise.  int8 ingest
+        # keeps the rings 8-bit too (1/8 the footprint of complex64) -------
         from fxtpu.runtime.native import make_ring
+        if config.ingest_dtype == "int8":
+            ring_shape, ring_dtype = (config.num_samp, 2), np.int8
+        else:
+            ring_shape, ring_dtype = (config.num_samp,), np.complex64
         self.bufs = [
-            make_ring(config.buffer_chunks, (config.num_samp,),
-                      dtype=np.complex64)
+            make_ring(config.buffer_chunks, ring_shape, dtype=ring_dtype)
             for _ in range(config.nchan)
         ]
         self.aligner = BlockAligner(self.bufs)

@@ -73,6 +73,17 @@ def _resolve_fused(fused, nbins, ntaps, s_rows) -> bool:
     return bool(fused) and pfb_pallas.supported(nbins, ntaps, s_rows)
 
 
+def _dequant(iq: Cplx, quant_step: float) -> Cplx:
+    """int8-ingested planes -> f32 at trace time (no-op for f32 input).
+    One on-device multiply: the 4x byte saving already happened in the
+    rings and the host->device transfer (see sources.base.QuantizedSource)."""
+    if iq.re.dtype == jnp.float32:
+        return iq
+    s = jnp.float32(quant_step)
+    return Cplx(iq.re.astype(jnp.float32) * s,
+                iq.im.astype(jnp.float32) * s)
+
+
 def _finish_fused(xp: Cplx, delays, pairs_np, nbins: int, n_frames: int,
                   bandwidth: float, frequency: float, continuum: bool):
     """Turn the fused kernel's RAW frame-summed cross power into the final
@@ -110,7 +121,8 @@ def _finish_fused(xp: Cplx, delays, pairs_np, nbins: int, n_frames: int,
 
 
 def _make_planes_core(*, mode: str, nbins: int, w2d, pairs_a,
-                      bandwidth: float, frequency: float, use_fused: bool):
+                      bandwidth: float, frequency: float, use_fused: bool,
+                      quant_step: float = 1.0 / 32):
     """The shared planes-impl block body (single-step and scan variants).
 
     With ``FXTPU_PERMUTED_FFT=1`` (and a smooth plan) the F-stage FFT runs
@@ -139,6 +151,7 @@ def _make_planes_core(*, mode: str, nbins: int, w2d, pairs_a,
 
         def fused_core(iq: Cplx, delays, history: Cplx):
             from fxtpu.ops.pfb_pallas import fx_pallas_raw
+            iq = _dequant(iq, quant_step)
             xp, new_hist = fx_pallas_raw(iq, w2d, nbins, history, pairs_np)
             n_frames = (iq.shape[-2] if iq.re.ndim == 3
                         else iq.shape[-1] // nbins)
@@ -149,7 +162,7 @@ def _make_planes_core(*, mode: str, nbins: int, w2d, pairs_a,
         return fused_core
 
     def core(iq: Cplx, delays, history: Cplx):
-        iq = pl_ops.dc_remove_planes(iq)
+        iq = pl_ops.dc_remove_planes(_dequant(iq, quant_step))
         spec, new_hist = pl_ops.spectrometer_planes(
             iq, w2d, nbins, history=history, permuted=permuted)
         spec = pl_ops.fstc_rotate_planes(spec, delays, bandwidth, frequency,
@@ -169,7 +182,7 @@ def make_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
                  pairs: np.ndarray, bandwidth: float, frequency: float,
                  num_samp: int, impl: str = "planes",
                  mesh: Optional[jax.sharding.Mesh] = None,
-                 fused="auto"):
+                 fused="auto", quant_step: float = 1.0 / 32):
     """Build the jitted per-block step:
 
         step(iq [nch, num_samp], delays [nch], history [nch, ntaps-1, nbins])
@@ -185,7 +198,8 @@ def make_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
         return make_sharded_fx_step(
             mode=mode, nbins=nbins, window2d=window2d, pairs=pairs,
             bandwidth=bandwidth, frequency=frequency, mesh=mesh,
-            num_samp=num_samp, impl=impl, fused=fused)
+            num_samp=num_samp, impl=impl, fused=fused,
+            quant_step=quant_step)
 
     ntaps = int(window2d.shape[0])
     s_rows = num_samp // nbins
@@ -197,7 +211,8 @@ def make_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
         use_fused = _resolve_fused(fused, nbins, ntaps, s_rows)
         core = _make_planes_core(
             mode=mode, nbins=nbins, w2d=w2d, pairs_a=pairs_a,
-            bandwidth=bandwidth, frequency=frequency, use_fused=use_fused)
+            bandwidth=bandwidth, frequency=frequency, use_fused=use_fused,
+            quant_step=quant_step)
         return jax.jit(core)
 
     if impl != "complex":
@@ -229,7 +244,8 @@ def make_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
 
 def make_fx_multi_step(*, mode: str, nbins: int, window2d: np.ndarray,
                        pairs: np.ndarray, bandwidth: float, frequency: float,
-                       num_samp: int, fused="auto"):
+                       num_samp: int, fused="auto",
+                       quant_step: float = 1.0 / 32):
     """K-blocks-per-dispatch variant (planes impl):
 
         multi(iq [K, nch, num_samp], delays [K, nch], history)
@@ -260,6 +276,7 @@ def make_fx_multi_step(*, mode: str, nbins: int, window2d: np.ndarray,
         @jax.jit
         def multi_fused(iq: Cplx, delays, history: Cplx):
             from fxtpu.ops.pfb_pallas import fx_pallas_raw_multi
+            iq = _dequant(iq, quant_step)
             xp, new_hist = fx_pallas_raw_multi(iq, w2d, nbins, history,
                                                pairs_np)
             vis = _finish_fused(xp, delays, pairs_np, nbins, s_rows,
@@ -270,7 +287,8 @@ def make_fx_multi_step(*, mode: str, nbins: int, window2d: np.ndarray,
 
     core = _make_planes_core(
         mode=mode, nbins=nbins, w2d=w2d, pairs_a=pairs_a,
-        bandwidth=bandwidth, frequency=frequency, use_fused=use_fused)
+        bandwidth=bandwidth, frequency=frequency, use_fused=use_fused,
+        quant_step=quant_step)
 
     @jax.jit
     def multi(iq: Cplx, delays, history: Cplx):
@@ -303,6 +321,11 @@ def make_calibrator(*, bandwidth: float, impl: str = "planes"):
 
         @jax.jit
         def cal(iq: Cplx):
+            if iq.re.dtype != jnp.float32:
+                # int8 ingest: the delay estimator is scale-invariant
+                # (argmax of |xcorr|), so a plain convert suffices
+                iq = Cplx(iq.re.astype(jnp.float32),
+                          iq.im.astype(jnp.float32))
             if iq.re.ndim == 3:  # pre-framed [nch, S, nbins] planes
                 iq = Cplx(iq.re.reshape(iq.re.shape[0], -1),
                           iq.im.reshape(iq.im.shape[0], -1))
@@ -363,11 +386,12 @@ class FxEngine:
         self.pairs = baseline_pairs(cfg.nchan, cfg.include_autos)
         self._key = (cfg.mode, cfg.nbins, cfg.ntaps, cfg.window, cfg.nchan,
                      cfg.include_autos, cfg.bandwidth, cfg.frequency,
-                     cfg.num_samp, impl, repr(fused), mesh)
+                     cfg.num_samp, impl, repr(fused), mesh, cfg.quant_step)
         self.step = _cached_step("step", self._key, lambda: make_fx_step(
             mode=cfg.mode, nbins=cfg.nbins, window2d=self.window2d,
             pairs=self.pairs, bandwidth=cfg.bandwidth, frequency=cfg.frequency,
-            num_samp=cfg.num_samp, impl=impl, mesh=mesh, fused=fused))
+            num_samp=cfg.num_samp, impl=impl, mesh=mesh, fused=fused,
+            quant_step=cfg.quant_step))
         self.calibrate = make_calibrator(bandwidth=cfg.bandwidth, impl=impl)
         self._multi_step = None
 
@@ -383,7 +407,8 @@ class FxEngine:
                     window2d=self.window2d, pairs=self.pairs,
                     bandwidth=self.cfg.bandwidth,
                     frequency=self.cfg.frequency,
-                    num_samp=self.cfg.num_samp, fused=self.fused))
+                    num_samp=self.cfg.num_samp, fused=self.fused,
+                    quant_step=self.cfg.quant_step))
         return self._multi_step
 
     def fresh_history(self):
@@ -415,6 +440,25 @@ class FxEngine:
         device-resident array is a tiled-layout change costing a full HBM
         round trip (see fx_pallas_raw_multi)."""
         if self.impl == "planes":
+            if (isinstance(block, np.ndarray) and block.dtype == np.int8
+                    and block.shape[-1] == 2):
+                # 8-bit quantized ingest [..., nch, num_samp, 2]: ship the
+                # int8 planes (4x fewer H2D bytes); the step dequantizes
+                # on-device (see _dequant / sources.base.QuantizedSource)
+                re = np.ascontiguousarray(block[..., 0])
+                im = np.ascontiguousarray(block[..., 1])
+                if self.mesh is not None:
+                    # mesh ingest path expects complex; dequant host-side
+                    from fxtpu.parallel.ingest import put_block
+                    c = (re.astype(np.float32)
+                         + 1j * im.astype(np.float32)).astype(np.complex64)
+                    return put_block(c * self.cfg.quant_step, self.mesh)
+                if self.fused_active:
+                    s = re.shape[-1] // self.cfg.nbins
+                    shape = (*re.shape[:-1], s, self.cfg.nbins)
+                    re = re[..., : s * self.cfg.nbins].reshape(shape)
+                    im = im[..., : s * self.cfg.nbins].reshape(shape)
+                return Cplx(jnp.asarray(re), jnp.asarray(im))
             if self.mesh is not None and np.ndim(block) == 2:
                 from fxtpu.parallel.ingest import put_block
                 return put_block(np.asarray(block), self.mesh)

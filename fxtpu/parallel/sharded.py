@@ -151,7 +151,8 @@ def _make_fused_sharded_step(*, mode: str, nbins: int, w2d, pairs,
 def make_sharded_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
                          pairs: np.ndarray, bandwidth: float, frequency: float,
                          mesh: jax.sharding.Mesh, num_samp: int,
-                         impl: str = "planes", fused="auto"):
+                         impl: str = "planes", fused="auto",
+                         quant_step: float = 1.0 / 32):
     """Build a jitted sharded step: ``(iq [nch, num_samp], delays [nch],
     history [nch, ntaps-1, nbins]) -> (vis, new_history)``.
 

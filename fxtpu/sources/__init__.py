@@ -19,16 +19,24 @@ def make_source(cfg, delays=None):
     if cfg.source == "synthetic":
         if delays is None:
             delays = [0.0] + [cfg.synthetic_delay] * (cfg.nchan - 1)
-        return NoiseSource(delays=delays, snr=cfg.synthetic_snr,
-                           seed=cfg.seed, **common)
+        return _maybe_quantize(
+            NoiseSource(delays=delays, snr=cfg.synthetic_snr,
+                        seed=cfg.seed, **common), cfg)
     if cfg.source == "replay":
         if not cfg.replay_file:
             raise ValueError("replay source requires replay_file")
-        return ReplaySource(cfg.replay_file, **common)
+        return _maybe_quantize(ReplaySource(cfg.replay_file, **common), cfg)
     if cfg.source == "rtlsdr":
         from fxtpu.sources.rtlsdr import RtlSdrSource
-        return RtlSdrSource(**common)
+        return _maybe_quantize(RtlSdrSource(**common), cfg)
     raise ValueError(f"unknown source kind: {cfg.source}")
+
+
+def _maybe_quantize(src, cfg):
+    if getattr(cfg, "ingest_dtype", "complex64") == "int8":
+        from fxtpu.sources.base import QuantizedSource
+        return QuantizedSource(src, cfg.quant_step)
+    return src
 
 
 __all__ = [

@@ -95,3 +95,61 @@ class Source(abc.ABC):
     def close(self):
         """Release resources (``sdr.close()`` analog, ``effex.py:176-180``)."""
         self._stopped = True
+
+
+class QuantizedSource(Source):
+    """Wraps a source and emits 8-BIT blocks: ``[nchan, num_samp, 2]``
+    int8 with the I/Q planes quantized as ``round(x / quant_step)``
+    clipped to [-127, 127].
+
+    This is how radio hardware actually delivers samples (RTL-SDRs are
+    8-bit ADCs; the reference's pyrtlsdr converts u8 -> complex128 at the
+    USB boundary, quadrupling every byte *before* any transport).  Keeping
+    int8 through the rings, the aligner, and the host->device transfer
+    cuts the streaming pipeline's bytes 4x end-to-end; the dequantize
+    (one multiply) runs on-device.  For a live RtlSdrSource the quantized
+    path is a re-bias of the native u8 samples, not a lossy step."""
+
+    def __init__(self, inner: Source, quant_step: float = 1.0 / 32):
+        super().__init__(inner.nchan, inner.sample_rate, inner.center_freq,
+                         inner.gain)
+        self.inner = inner
+        self.quant_step = float(quant_step)
+        self.realtime = getattr(inner, "realtime", False)
+        self.max_stable_bandwidth = inner.max_stable_bandwidth
+
+    # tuning pass-through reaches the wrapped hardware/generator
+    @Source.sample_rate.setter
+    def sample_rate(self, value: float):
+        self._sample_rate = float(value)
+        self.inner.sample_rate = value
+
+    @Source.center_freq.setter
+    def center_freq(self, value: float):
+        self._center_freq = float(value)
+        self.inner.center_freq = value
+
+    @Source.gain.setter
+    def gain(self, value: float):
+        self._gain = float(value)
+        self.inner.gain = value
+
+    def read_block(self, num_samp: int):
+        block = self.inner.read_block(num_samp)
+        if block is None:
+            return None
+        q = np.empty((*block.shape, 2), dtype=np.int8)
+        inv = 1.0 / self.quant_step
+        np.clip(np.rint(block.real * inv), -127, 127, out=q[..., 0],
+                casting="unsafe")
+        np.clip(np.rint(block.imag * inv), -127, 127, out=q[..., 1],
+                casting="unsafe")
+        return q
+
+    def stop(self):
+        super().stop()
+        self.inner.stop()
+
+    def close(self):
+        super().close()
+        self.inner.close()

@@ -93,6 +93,34 @@ def test_fault_injection_short_and_fail():
         failing.read_block(128)
 
 
+def test_quantized_source_int8_roundtrip():
+    """QuantizedSource emits int8 [nch, ns, 2] with q*step within one LSB
+    of the float source (away from clipping)."""
+    from fxtpu.sources.base import QuantizedSource
+    step = 1.0 / 32
+    inner = NoiseSource(nchan=2, seed=4, scale=0.5)
+    ref = NoiseSource(nchan=2, seed=4, scale=0.5)
+    q = QuantizedSource(inner, quant_step=step)
+    blk = q.read_block(4096)
+    want = ref.read_block(4096)
+    assert blk.dtype == np.int8 and blk.shape == (2, 4096, 2)
+    deq = (blk[..., 0].astype(np.float32)
+           + 1j * blk[..., 1].astype(np.float32)) * step
+    unclipped = (np.abs(want.real) < 126 * step) & \
+        (np.abs(want.imag) < 126 * step)
+    err = np.abs(deq - want)[unclipped]
+    assert err.max() <= step  # within one LSB per component
+
+
+def test_quantized_source_tuning_passthrough():
+    from fxtpu.sources.base import QuantizedSource
+    inner = NoiseSource(nchan=2, seed=4)
+    q = QuantizedSource(inner)
+    q.sample_rate = 1.2e6
+    q.center_freq = 1.0e9
+    assert inner.sample_rate == 1.2e6 and inner.center_freq == 1.0e9
+
+
 def test_make_source_from_config(tmp_path):
     cfg = CorrelatorConfig(source="synthetic", nchan=4, synthetic_delay=1e-6)
     src = make_source(cfg)
