@@ -62,7 +62,9 @@ class CorrelatorConfig:
                                      # compile serves every config — compiles
                                      # cost ~20 s on this backend) and bounds
                                      # its FFT size.  Clamped to num_samp.
-    dtype: str = "complex64"       # in-graph dtype; TPU-native default is c64
+    dtype: str = "complex64"       # in-graph dtype; only c64 exists on this
+                                   # backend — complex128 is REJECTED with a
+                                   # pointer to the measured 3.1e-5 bound
                                    # (reference is complex128 end-to-end,
                                    #  effex.py:109-110; see SURVEY.md "hard parts")
     clamp_num_samp: bool = True    # clamp to [2^8, 2^18] like effex.py:277-284
@@ -140,14 +142,31 @@ class CorrelatorConfig:
                 f"in each input timeseries. timeseries len: {self.num_samp} "
                 f"n_branches: {self.nbins} ntaps: {self.ntaps} "
                 f"n_branches*ntaps: {self.nbins * self.ntaps}")
-        if self.dtype not in ("complex64", "complex128"):
-            raise ValueError(f"dtype must be complex64/complex128, got {self.dtype}")
+        if self.dtype != "complex64":
+            # The reference runs complex128 end-to-end (effex.py:109-110);
+            # this TPU backend implements NO complex or float64 dtypes, so
+            # a c128 path cannot exist on-device.  Rejected loudly rather
+            # than silently downcast: the f32-planes path measures 3.1e-5
+            # max relative error on the integrated visibility vs a float64
+            # oracle (docs/design.md "Stage matmul precision"), well inside
+            # the product SNR bound, and FXTPU_FFT_PRECISION=highest
+            # tightens the FFT stage matmuls further if needed.
+            raise ValueError(
+                f"dtype must be 'complex64', got {self.dtype!r}: this TPU "
+                "backend has no complex/float64 dtypes. The f32 dual-plane "
+                "path is validated to 3.1e-5 relative vs a float64 oracle "
+                "(docs/design.md); set FXTPU_FFT_PRECISION=highest for "
+                "6-pass stage matmuls, or use the impl='complex' CPU "
+                "oracle path for reference-precision cross-checks.")
         if self.source not in ("synthetic", "replay", "rtlsdr"):
             raise ValueError(f"unknown source kind: {self.source}")
         if self.buffer_chunks is None:
-            # Same sizing law as the reference: fit ~1 GB of complex128
-            # blocks split over two channels (effex.py:37-38), floored at 4.
-            itemsize = 16
+            # Same sizing LAW as the reference — fit ~1 GB of ring slots
+            # split over two channels (effex.py:37-38), floored at 4 —
+            # but computed from the ACTUAL ring itemsize (complex64 = 8 B,
+            # int8 planes = 2 B/sample), so int8 runs buffer the same
+            # wall-clock span of signal, not 8x less.
+            itemsize = 2 if self.ingest_dtype == "int8" else 8
             self.buffer_chunks = max(
                 4, int(1e9 // (self.num_samp * itemsize) // 2))
         if self.output_file is None:

@@ -223,6 +223,7 @@ class Correlator:
                 "may not be stable.", value, ceiling)
         self._bandwidth = value
         self.source.sample_rate = value
+        self._sync_engine(bandwidth=value)
 
     @property
     def frequency(self):
@@ -232,6 +233,7 @@ class Correlator:
     def frequency(self, value):
         self._frequency = value
         self.source.center_freq = value
+        self._sync_engine(frequency=value)
 
     @property
     def num_samp(self):
@@ -244,6 +246,7 @@ class Correlator:
         if self.config.clamp_num_samp:
             value = min(max(value, MIN_NUM_SAMP), MAX_NUM_SAMP)
         self._num_samp = value
+        self._sync_engine(num_samp=value)
 
     @property
     def nbins(self):
@@ -252,6 +255,7 @@ class Correlator:
     @nbins.setter
     def nbins(self, value):
         self._nbins = value
+        self._sync_engine(nbins=value)
 
     @property
     def gain(self):
@@ -273,6 +277,52 @@ class Correlator:
             raise ValueError(
                 f"Mode input {input_mode} is not in known modes: {self._modes}")
         self._mode = input_mode
+        self._sync_engine(mode=input_mode)
+
+    def _sync_engine(self, **changes):
+        """Rebuild the compute engine after a compute-relevant property
+        mutation, so mutated correlators actually correlate at the new
+        shape (the reference read these properties live in every
+        ``_pfb_xcorr`` call, ``effex.py:497-527``; here the compiled step
+        is built once, so a post-init mutation must rebuild it).  Step and
+        calibrator builders are memoized process-wide (fx._STEP_CACHE), so
+        reverting a value — or a no-op rewrite — never recompiles.
+
+        ``num_samp`` mutation also resizes the host ring buffers; that is
+        only legal before streaming starts (the feeder owns the rings
+        once running)."""
+        if getattr(self, "engine", None) is None:
+            return  # still inside __init__: engine not built yet
+        import dataclasses
+        if all(getattr(self.config, k) == v for k, v in changes.items()):
+            return
+        if "num_samp" in changes and self.feeder is not None:
+            raise RuntimeError(
+                "num_samp cannot change after streaming has started: the "
+                "ring buffers are sized per block and owned by the feeder")
+        self.config = dataclasses.replace(self.config, **changes)
+        self.engine = FxEngine(self.config, mesh=self.engine.mesh,
+                               impl=self.engine.impl,
+                               fused=self.config.fused)
+        self.history = self.engine.fresh_history()
+        self._accumulator = None
+        self._accumulated = 0
+        self.test_delay_sweep_step = self.config.test_delay_sweep_step
+        self.test_delay_offset = self.config.test_delay_offset
+        if "num_samp" in changes:
+            from fxtpu.runtime.native import make_ring
+            cfg = self.config
+            if cfg.ingest_dtype == "int8":
+                ring_shape, ring_dtype = (cfg.num_samp, 2), np.int8
+            else:
+                ring_shape, ring_dtype = (cfg.num_samp,), np.complex64
+            self.bufs = [
+                make_ring(cfg.buffer_chunks, ring_shape, dtype=ring_dtype)
+                for _ in range(cfg.nchan)
+            ]
+            self.aligner = BlockAligner(self.bufs)
+        self.logger.debug("engine rebuilt after property mutation: %s",
+                          changes)
 
     # ------------------------------------------------------------------
     # Supervision helpers (effex.py:158-180)

@@ -23,7 +23,6 @@ same call signature.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional
 
@@ -54,7 +53,7 @@ def _continuum_planes(vis: Cplx, bandwidth) -> Cplx:
                 jnp.mean(vis.im, axis=-1) / bandwidth)
 
 
-def _resolve_fused(fused, nbins, ntaps, s_rows) -> bool:
+def _resolve_fused(fused, nbins, ntaps, s_rows, nch: int = 2) -> bool:
     """'auto' -> ON for supported SHALLOW-TAP shapes when running on TPU:
     the fused full-step Pallas kernel (DC+FIR+FFT+X in VMEM, transpose-free
     split-bf16 stages) measures 18.9 GS/s vs 10.4 for the XLA path at the
@@ -70,7 +69,7 @@ def _resolve_fused(fused, nbins, ntaps, s_rows) -> bool:
     from fxtpu.ops import pfb_pallas
     if fused == "auto":
         fused = jax.default_backend() in ("tpu",) and ntaps <= 16
-    return bool(fused) and pfb_pallas.supported(nbins, ntaps, s_rows)
+    return bool(fused) and pfb_pallas.supported(nbins, ntaps, s_rows, nch)
 
 
 def _dequant(iq: Cplx, quant_step: float) -> Cplx:
@@ -206,9 +205,10 @@ def make_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
     pairs_a = jnp.asarray(pairs)
     continuum = mode in ("CONTINUUM", "TEST")
 
+    nch = int(np.asarray(pairs).max()) + 1
     if impl == "planes":
         w2d = jnp.asarray(window2d, dtype=jnp.float32)
-        use_fused = _resolve_fused(fused, nbins, ntaps, s_rows)
+        use_fused = _resolve_fused(fused, nbins, ntaps, s_rows, nch)
         core = _make_planes_core(
             mode=mode, nbins=nbins, w2d=w2d, pairs_a=pairs_a,
             bandwidth=bandwidth, frequency=frequency, use_fused=use_fused,
@@ -263,7 +263,8 @@ def make_fx_multi_step(*, mode: str, nbins: int, window2d: np.ndarray,
     pairs_a = jnp.asarray(pairs)
     continuum = mode in ("CONTINUUM", "TEST")
     w2d = jnp.asarray(window2d, dtype=jnp.float32)
-    use_fused = _resolve_fused(fused, nbins, ntaps, s_rows)
+    nch = int(np.asarray(pairs).max()) + 1
+    use_fused = _resolve_fused(fused, nbins, ntaps, s_rows, nch)
 
     if use_fused:
         # no lax.scan: the fused kernel's grid iterates blocks itself,
@@ -303,7 +304,6 @@ def make_fx_multi_step(*, mode: str, nbins: int, window2d: np.ndarray,
     return multi
 
 
-@functools.lru_cache(maxsize=32)
 def make_calibrator(*, bandwidth: float, impl: str = "planes"):
     """Jitted all-channel delay calibration against channel 0.
 
@@ -311,12 +311,21 @@ def make_calibrator(*, bandwidth: float, impl: str = "planes"):
     Blocks are DC-removed first, as the reference calibrates on the
     DC-removed pinned buffers (``effex.py:391-395`` then ``:484``).
 
-    Memoized on (bandwidth, impl): every FxEngine with the same bandwidth
-    shares ONE jitted function, so re-instantiating engines (warmup runs,
-    repeated Correlators in one process) never re-traces or recompiles —
-    on this backend the calibrator's XLA compile costs ~20 s through the
-    remote-compile tunnel and is not served by any persistent cache.
+    Memoized process-wide via ``_cached_step`` on (bandwidth, impl) PLUS
+    the FFT env knobs (FXTPU_FFT_PRECISION / FXTPU_PERMUTED_FFT — the same
+    key construction as the step cache, so flipping an env var mid-process
+    never returns a calibrator compiled at the old precision): every
+    FxEngine with the same bandwidth shares ONE jitted function, so
+    re-instantiating engines (warmup runs, repeated Correlators in one
+    process) never re-traces or recompiles — on this backend the
+    calibrator's XLA compile costs ~20 s through the remote-compile tunnel
+    and is not served by any persistent cache.
     """
+    return _cached_step("cal", (bandwidth, impl),
+                        lambda: _build_calibrator(bandwidth, impl))
+
+
+def _build_calibrator(bandwidth: float, impl: str):
     if impl == "planes":
 
         @jax.jit
@@ -425,7 +434,8 @@ class FxEngine:
         return (self.impl == "planes" and self.mesh is None
                 and _resolve_fused(self.fused, self.cfg.nbins,
                                    self.cfg.ntaps,
-                                   self.cfg.num_samp // self.cfg.nbins))
+                                   self.cfg.num_samp // self.cfg.nbins,
+                                   self.cfg.nchan))
 
     def prepare_block(self, block: np.ndarray):
         """Host block [nch, num_samp] complex64 -> device input form.

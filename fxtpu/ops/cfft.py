@@ -17,7 +17,7 @@ of size >= 2N-1 — so ANY length works on TPU.
 
 All matmuls force float32 accumulation (``preferred_element_type`` +
 ``Precision.HIGHEST``): accuracy vs numpy's complex128 FFT is ~1e-6
-relative for N up to 2^20 (tested in tests/test_cfft.py).
+relative for N up to 2^20 (tested in tests/test_planes.py).
 
 Reference replaced: cupy.fft.{fft,ifft} usage at
 ``/root/reference/effex/effex.py:516-614`` (via CUDA cuFFT).

@@ -80,9 +80,17 @@ def _kernel_factor(n: int):
     return None
 
 
-def supported(nbins: int, ntaps: int, s_rows: int) -> bool:
+#: The fused kernel packs per-channel re/im sample sums 2-per-channel into
+#: the 128 lanes of its `sout` accumulator (see _fx_kernel), so it can
+#: serve at most 64 channels.
+MAX_FUSED_NCHAN = 64
+
+
+def supported(nbins: int, ntaps: int, s_rows: int, nch: int = 2) -> bool:
     """True when the fused kernel can handle this shape."""
     if ntaps < 2:
+        return False
+    if nch > MAX_FUSED_NCHAN:
         return False
     if _kernel_factor(nbins) is None:
         return False
@@ -692,6 +700,10 @@ def fx_pallas_parts(x: Cplx, w2d, nbins: int, history: Cplx, pairs):
     tile = _pick_tile(s_rows, ntaps)
     if tile is None:
         raise ValueError(f"unsupported shape: S={s_rows}, ntaps={ntaps}")
+    if nch > MAX_FUSED_NCHAN:
+        raise ValueError(
+            f"fused kernel supports at most {MAX_FUSED_NCHAN} channels "
+            f"(2 lanes per channel in the sample-sum accumulator), got {nch}")
     pad = _halo_pad(ntaps)
     hist = jnp.stack([history.re, history.im], axis=1).astype(jnp.float32)
     hist = jnp.pad(hist, ((0, 0), (0, 0), (pad - halo, 0), (0, 0)))

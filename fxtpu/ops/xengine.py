@@ -43,16 +43,26 @@ def rf_freqs(nbins: int, bandwidth, frequency, dtype=jnp.float32):
 def fstc_rotate(spectra, delays, bandwidth, frequency):
     """Apply the fractional-sample timing-correction phase ramp per channel.
 
-    ``spectra``: ``[nch, S, nbins]`` complex; ``delays``: ``[nch]`` seconds
-    (traced values — updating the calibration does NOT recompile, see
-    SURVEY.md "hard parts": data-dependent calibration in-graph).
+    ``spectra``: ``[nch, S, nbins]`` complex; ``delays``: ``[nch]`` seconds,
+    or the packed ``[nch, 2]`` (delay, frac(fc*d)) form from
+    :func:`fxtpu.ops.planes.pack_delays` (traced values — updating the
+    calibration does NOT recompile, see SURVEY.md "hard parts":
+    data-dependent calibration in-graph).
     """
     nbins = spectra.shape[-1]
     rdtype = jnp.float64 if spectra.dtype == jnp.complex128 else jnp.float32
-    freqs = rf_freqs(nbins, bandwidth, frequency, rdtype)
-    # exp(+2j*pi*f*d_c) per channel; equals the reference's conj(rot) applied
-    # to channel 1 when d_0=0 (effex.py:519-520).
-    phase = 2.0 * np.pi * freqs[None, :] * jnp.asarray(delays, rdtype)[:, None]
+    delays = jnp.asarray(delays, rdtype)
+    if delays.ndim == 2 and delays.shape[-1] == 2:
+        # packed form: phase = 2pi*(f_base*d + frac), carrier cycles
+        # pre-reduced host-side (ops.planes.pack_delays contract)
+        d, frac = delays[:, 0], delays[:, 1]
+        fbase = jnp.fft.fftfreq(nbins, d=1.0 / bandwidth).astype(rdtype)
+        phase = 2.0 * np.pi * (fbase[None, :] * d[:, None] + frac[:, None])
+    else:
+        freqs = rf_freqs(nbins, bandwidth, frequency, rdtype)
+        # exp(+2j*pi*f*d_c) per channel; equals the reference's conj(rot)
+        # applied to channel 1 when d_0=0 (effex.py:519-520).
+        phase = 2.0 * np.pi * freqs[None, :] * delays[:, None]
     rot = jax.lax.complex(jnp.cos(phase), jnp.sin(phase)).astype(spectra.dtype)
     return spectra * rot[:, None, :]
 

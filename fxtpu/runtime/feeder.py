@@ -91,33 +91,39 @@ class Feeder:
                 if block is None:
                     logger.info("Source exhausted; feeder stopping.")
                     break
-                for c, buf in enumerate(self.bufs):
-                    if not realtime:
-                        # wait for space WITHOUT attempting puts (a timed-out
-                        # put counts as a drop — these blocks are never lost)
-                        while buf.full() and not self._stop.is_set():
-                            time.sleep(0.002)
-                        if self._stop.is_set():
-                            break
-                    buf.put(block[c], timeout=self.put_timeout,
-                            seq=self.blocks_fed)
+                if not realtime:
+                    # wait for space in EVERY ring WITHOUT attempting puts
+                    # (a timed-out put counts as a drop — these blocks are
+                    # never lost); checked before the channel loop so a
+                    # stop mid-wait skips the whole block atomically and
+                    # never leaves channel seqs misaligned
+                    while (any(b.full() for b in self.bufs)
+                           and not self._stop.is_set()):
+                        time.sleep(0.002)
                 if self._stop.is_set():
                     break
+                for c, buf in enumerate(self.bufs):
+                    buf.put(block[c], timeout=self.put_timeout,
+                            seq=self.blocks_fed)
                 self.blocks_fed += 1
                 if time.time() - t0 > self.run_time:
                     break
             logger.info("Buffering ended at %s",
                         time.strftime("%a, %d %b %Y %H:%M:%S"))
         except BufferFull:
+            # Report-and-return: this runs in a daemon thread, so the
+            # supervision queue IS the error channel (re-raising here would
+            # only produce unraisable-exception noise; the reference's
+            # re-raise lives in a child process where it kills the
+            # producer, effex.py:656-659 — the report already did that).
             logger.exception("feeder filled a ring buffer and it was not "
                              "emptied before timeout occurred.")
             if self.exc_queue is not None:
                 self.exc_queue.put(traceback.format_exc())
-            raise
         except Exception:
+            logger.exception("feeder thread failed")
             if self.exc_queue is not None:
                 self.exc_queue.put(traceback.format_exc())
-            raise
         finally:
             for buf in self.bufs:
                 buf.close()

