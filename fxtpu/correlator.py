@@ -134,14 +134,28 @@ class Correlator:
         self.mode = config.mode
         self.start_time = -1.0
 
+        # --- multi-host: each process feeds only the sample span its mesh
+        # devices own (SURVEY.md §5.8; fxtpu.parallel.ingest) --------------
+        self._is_primary = jax.process_index() == 0
+        self.sample_span = None
+        if mesh is not None and jax.process_count() > 1:
+            from fxtpu.parallel.ingest import local_sample_span
+            self.sample_span = local_sample_span(mesh, config.num_samp)
+            self.logger.info(
+                "multi-host run: process %d/%d feeds samples [%d, %d) of "
+                "each block", jax.process_index(), jax.process_count(),
+                *self.sample_span)
+        local_samp = (config.num_samp if self.sample_span is None
+                      else self.sample_span[1] - self.sample_span[0])
+
         # --- host buffering (effex.py:105-110): native C++ ring when the
         # shared library is built, Python fallback otherwise.  int8 ingest
         # keeps the rings 8-bit too (1/8 the footprint of complex64) -------
         from fxtpu.runtime.native import make_ring
         if config.ingest_dtype == "int8":
-            ring_shape, ring_dtype = (config.num_samp, 2), np.int8
+            ring_shape, ring_dtype = (local_samp, 2), np.int8
         else:
-            ring_shape, ring_dtype = (config.num_samp,), np.complex64
+            ring_shape, ring_dtype = (local_samp,), np.complex64
         self.bufs = [
             make_ring(config.buffer_chunks, ring_shape, dtype=ring_dtype)
             for _ in range(config.nchan)
@@ -465,8 +479,11 @@ class Correlator:
     # ------------------------------------------------------------------
     def _startup_task(self):
         """Write the CSV header and start feeder/writer/keyboard threads
-        (``effex.py:420-474``)."""
-        products.write_metadata(self.output_file, self.config)
+        (``effex.py:420-474``).  In a multi-host run only process 0 writes
+        products; every process feeds its own sample span and dispatches
+        the same global device programs in lockstep."""
+        if self._is_primary:
+            products.write_metadata(self.output_file, self.config)
 
         self.start_time = time.time() + self.config.startup_duration
         self.logger.info(
@@ -477,14 +494,17 @@ class Correlator:
         self.feeder = Feeder(self.source, self.bufs, self.num_samp,
                              start_time=self.start_time,
                              run_time=self.run_time,
-                             exc_queue=self.exc_queue).start()
+                             exc_queue=self.exc_queue,
+                             sample_span=self.sample_span).start()
         self.logger.debug("Started feeder thread.")
 
-        self.writer = products.VisibilityWriter(
-            self.output_file, self.vis_out,
-            active_fn=lambda: self.state in ("STARTUP", "RUN", "CALIBRATE"),
-        ).start()
-        self.logger.debug("Started output buffering thread.")
+        if self._is_primary:
+            self.writer = products.VisibilityWriter(
+                self.output_file, self.vis_out,
+                active_fn=lambda: self.state in ("STARTUP", "RUN",
+                                                 "CALIBRATE"),
+            ).start()
+            self.logger.debug("Started output buffering thread.")
 
         if self.config.keyboard_control and sys.stdin.isatty():
             threading.Thread(target=self._get_kbd, args=(self.kbd_queue,),
@@ -504,12 +524,33 @@ class Correlator:
         the reference behavior at reference shapes); the fixed window keeps
         one compiled cal executable valid for every block size."""
         self.logger.debug("Starting calibration")
-        # fused-engine blocks arrive pre-framed [nch, S, nbins]: flatten
-        # back to a sample axis before windowing
-        iq = jax.tree.map(lambda a: a.reshape(a.shape[0], -1), iq)
         ncal = min(self.config.calibrate_samples, self.num_samp)
-        iq = jax.tree.map(lambda a: a[..., : min(ncal, a.shape[-1])], iq)
-        delays = np.asarray(self.engine.calibrate(iq), dtype=np.float64)
+        if self.sample_span is not None:
+            # Multi-host: the block is a GLOBAL sharded array no process
+            # fully holds, and eager ops on non-addressable Arrays raise —
+            # run slice + cal as one jitted global program with the delay
+            # vector replicated so every host reads identical values (the
+            # FFT xcorr forces the gather internally; delays feed identical
+            # host-side pack_delays on every process).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            mesh = self.engine.mesh
+            cal = self.engine.calibrate
+
+            def gcal(x):
+                x = jax.tree.map(
+                    lambda a: a.reshape(a.shape[0], -1)[..., :ncal], x)
+                return cal(x)
+
+            out = jax.jit(gcal,
+                          out_shardings=NamedSharding(mesh, P()))(iq)
+            delays = np.asarray(jax.device_get(out), dtype=np.float64)
+        else:
+            # fused-engine blocks arrive pre-framed [nch, S, nbins]:
+            # flatten back to a sample axis before windowing
+            iq = jax.tree.map(lambda a: a.reshape(a.shape[0], -1), iq)
+            iq = jax.tree.map(lambda a: a[..., : min(ncal, a.shape[-1])],
+                              iq)
+            delays = np.asarray(self.engine.calibrate(iq), dtype=np.float64)
         if self.mode == "TEST":
             delays[1:] -= self.test_delay_offset  # effex.py:578-579
         self.calibrated_delays = delays
@@ -652,7 +693,8 @@ class Correlator:
         Returns True when a row was emitted."""
         m = self.config.integration_blocks
         if m <= 1:
-            self.vis_out.put(vis)
+            if self._is_primary:
+                self.vis_out.put(vis)
             return True
         from fxtpu.ops.cplx import Cplx
         if self._accumulator is None:
@@ -666,7 +708,8 @@ class Correlator:
             a = self._accumulator
             out = (Cplx(a.re / m, a.im / m) if isinstance(a, Cplx)
                    else a / m)
-            self.vis_out.put(out)
+            if self._is_primary:
+                self.vis_out.put(out)
             self._accumulator = None
             self._accumulated = 0
             return True

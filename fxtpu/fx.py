@@ -455,14 +455,15 @@ class FxEngine:
                 # 8-bit quantized ingest [..., nch, num_samp, 2]: ship the
                 # int8 planes (4x fewer H2D bytes); the step dequantizes
                 # on-device (see _dequant / sources.base.QuantizedSource)
+                if self.mesh is not None and np.ndim(block) == 3:
+                    # mesh path ships int8 planes too — the 4x byte saving
+                    # matters MOST where the sample axis fans out across
+                    # devices/hosts; the sharded step dequantizes in-graph
+                    from fxtpu.parallel.ingest import put_block
+                    return put_block(block, self.mesh,
+                                     global_num_samp=self.cfg.num_samp)
                 re = np.ascontiguousarray(block[..., 0])
                 im = np.ascontiguousarray(block[..., 1])
-                if self.mesh is not None:
-                    # mesh ingest path expects complex; dequant host-side
-                    from fxtpu.parallel.ingest import put_block
-                    c = (re.astype(np.float32)
-                         + 1j * im.astype(np.float32)).astype(np.complex64)
-                    return put_block(c * self.cfg.quant_step, self.mesh)
                 if self.fused_active:
                     s = re.shape[-1] // self.cfg.nbins
                     shape = (*re.shape[:-1], s, self.cfg.nbins)
@@ -471,7 +472,8 @@ class FxEngine:
                 return Cplx(jnp.asarray(re), jnp.asarray(im))
             if self.mesh is not None and np.ndim(block) == 2:
                 from fxtpu.parallel.ingest import put_block
-                return put_block(np.asarray(block), self.mesh)
+                return put_block(np.asarray(block), self.mesh,
+                                 global_num_samp=self.cfg.num_samp)
             if self.fused_active and isinstance(block, np.ndarray):
                 s = block.shape[-1] // self.cfg.nbins
                 block = block[..., : s * self.cfg.nbins].reshape(

@@ -50,10 +50,19 @@ from fxtpu.parallel.mesh import FREQ_AXIS, TIME_AXIS, validate_shapes
 AXES = (TIME_AXIS, FREQ_AXIS)
 
 
+def _replicate_out(mesh, tree_):
+    """Multi-process: force outputs fully replicated (an in-graph
+    all_gather) so every host can read them (np.asarray on a
+    non-addressable sharded Array raises in multi-controller runs)."""
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda a: lax.with_sharding_constraint(a, rep), tree_)
+
+
 def _make_fused_sharded_step(*, mode: str, nbins: int, w2d, pairs,
                              bandwidth: float, frequency: float,
                              mesh: jax.sharding.Mesh, num_samp: int,
-                             ntaps: int):
+                             ntaps: int, quant_step: float = 1.0 / 32):
     """Sharded step around the fused full-step Pallas kernel: every shard
     runs FIR+FFT+X on its local frames (kernel ``history`` input = the
     ppermute'd RAW halo), the kernel's post-hoc DC accumulators are
@@ -123,8 +132,12 @@ def _make_fused_sharded_step(*, mode: str, nbins: int, w2d, pairs,
     consts = _dc_constants(tuple(np.asarray(w2d, np.float64).ravel()),
                            nbins, s_rows)
 
+    multihost = jax.process_count() > 1
+
     @jax.jit
     def step(iq: Cplx, delays, history: Cplx):
+        from fxtpu.fx import _dequant
+        iq = _dequant(iq, quant_step)
         if iq.re.ndim == 2:
             rows = Cplx(
                 iq.re[:, : s_rows * nbins].reshape(-1, s_rows, nbins),
@@ -142,6 +155,8 @@ def _make_fused_sharded_step(*, mode: str, nbins: int, w2d, pairs,
                             s_rows, bandwidth, frequency, continuum)
         new_hist = Cplx(tail_raw.re - mu.re[0][:, None, None],
                         tail_raw.im - mu.im[0][:, None, None])
+        if multihost:
+            vis, new_hist = _replicate_out(mesh, (vis, new_hist))
         return vis[0], new_hist
 
     step.fused_kernel = True  # introspectable (tests assert the path taken)
@@ -206,7 +221,7 @@ def make_sharded_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
             return _make_fused_sharded_step(
                 mode=mode, nbins=nbins, w2d=w2d, pairs=pairs_a,
                 bandwidth=bandwidth, frequency=frequency, mesh=mesh,
-                num_samp=num_samp, ntaps=ntaps)
+                num_samp=num_samp, ntaps=ntaps, quant_step=quant_step)
 
         def local_fx(rows: Cplx, delays, history: Cplx):
             # rows: [nch, S_loc, nbins] planes; history: [nch, ntaps-1, nbins]
@@ -239,12 +254,15 @@ def make_sharded_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
             out_specs=(P(None, FREQ_AXIS), P()),
         )
 
+        multihost = jax.process_count() > 1
+
         @jax.jit
         def step(iq: Cplx, delays, history: Cplx):
+            from fxtpu.fx import _dequant
             iq = jax.tree.map(
                 lambda a: lax.with_sharding_constraint(
                     a, NamedSharding(mesh, P(None, AXES))), iq)
-            iq = pl_ops.dc_remove_planes(iq)
+            iq = pl_ops.dc_remove_planes(_dequant(iq, quant_step))
             rows = jax.tree.map(
                 lambda a: lax.with_sharding_constraint(
                     a[:, : s_rows * nbins].reshape(a.shape[0], s_rows, nbins),
@@ -254,6 +272,8 @@ def make_sharded_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
             if continuum:
                 vis = Cplx(jnp.mean(vis.re, axis=-1) / bandwidth,
                            jnp.mean(vis.im, axis=-1) / bandwidth)
+            if multihost:
+                vis, new_hist = _replicate_out(mesh, (vis, new_hist))
             return vis, new_hist
 
         return step
@@ -287,6 +307,8 @@ def make_sharded_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
         out_specs=(P(None, FREQ_AXIS), P()),
     )
 
+    multihost = jax.process_count() > 1
+
     @jax.jit
     def step_c(iq, delays, history):
         iq = iq.astype(jnp.complex64)
@@ -300,6 +322,8 @@ def make_sharded_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
         vis = jnp.fft.fftshift(vis, axes=-1)
         if continuum:
             vis = continuum_reduce(vis, bandwidth)
+        if multihost:
+            vis, new_hist = _replicate_out(mesh, (vis, new_hist))
         return vis, new_hist
 
     return step_c

@@ -42,7 +42,8 @@ class Feeder:
     def __init__(self, source: Source, bufs: List[RingBuffer], num_samp: int,
                  start_time: float = 0.0, run_time: float = float("inf"),
                  exc_queue: Optional[Queue] = None,
-                 put_timeout: float = 30.0):
+                 put_timeout: float = 30.0,
+                 sample_span: Optional[tuple] = None):
         if len(bufs) != source.nchan:
             raise ValueError("need one ring buffer per channel")
         self.source = source
@@ -52,6 +53,11 @@ class Feeder:
         self.run_time = run_time
         self.exc_queue = exc_queue
         self.put_timeout = put_timeout
+        #: Multi-host: the [start, stop) span of each global block this
+        #: process's mesh devices own (fxtpu.parallel.ingest
+        #: .local_sample_span) — the feeder reads ONLY that span; rings
+        #: then hold local-span blocks for make_array_from_process_local_data.
+        self.sample_span = sample_span
         self.blocks_fed = 0
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
@@ -87,7 +93,11 @@ class Feeder:
             # XLA first-compile stall without killing the run.
             realtime = getattr(self.source, "realtime", True)
             while not self._stop.is_set():
-                block = self.source.read_block(self.num_samp)
+                if self.sample_span is not None:
+                    block = self.source.read_block_span(self.num_samp,
+                                                        *self.sample_span)
+                else:
+                    block = self.source.read_block(self.num_samp)
                 if block is None:
                     logger.info("Source exhausted; feeder stopping.")
                     break

@@ -77,6 +77,20 @@ class Source(abc.ABC):
         """Produce the next aligned block, shape ``[nchan, num_samp]``
         complex64, or None when the source is exhausted (replay end)."""
 
+    def read_block_span(self, num_samp: int, start: int,
+                        stop: int) -> Optional[np.ndarray]:
+        """Produce only samples ``[start, stop)`` of the next global
+        ``num_samp``-sample block (the stream still advances by the full
+        ``num_samp``).  Multi-host feeders use this so each process reads
+        only the span its mesh devices own (SURVEY.md §5.8; see
+        fxtpu.parallel.ingest.local_sample_span).  Default: read the full
+        block and slice — sources with random access (replay files)
+        override to avoid materializing samples they don't own."""
+        block = self.read_block(num_samp)
+        if block is None:
+            return None
+        return np.ascontiguousarray(block[:, start:stop])
+
     async def stream(self, num_samp: int) -> AsyncIterator[np.ndarray]:
         """Async block iterator, shaped like the reference's
         ``sdr.stream(format='samples', num_samples_or_bytes=N)``
@@ -134,17 +148,27 @@ class QuantizedSource(Source):
         self._gain = float(value)
         self.inner.gain = value
 
-    def read_block(self, num_samp: int):
-        block = self.inner.read_block(num_samp)
-        if block is None:
-            return None
+    @staticmethod
+    def _quantize(block, quant_step):
         q = np.empty((*block.shape, 2), dtype=np.int8)
-        inv = 1.0 / self.quant_step
+        inv = 1.0 / quant_step
         np.clip(np.rint(block.real * inv), -127, 127, out=q[..., 0],
                 casting="unsafe")
         np.clip(np.rint(block.imag * inv), -127, 127, out=q[..., 1],
                 casting="unsafe")
         return q
+
+    def read_block(self, num_samp: int):
+        block = self.inner.read_block(num_samp)
+        if block is None:
+            return None
+        return self._quantize(block, self.quant_step)
+
+    def read_block_span(self, num_samp: int, start: int, stop: int):
+        block = self.inner.read_block_span(num_samp, start, stop)
+        if block is None:
+            return None
+        return self._quantize(block, self.quant_step)
 
     def stop(self):
         super().stop()

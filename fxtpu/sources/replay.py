@@ -74,6 +74,23 @@ class ReplaySource(Source):
         self._pos += num_samp
         return np.ascontiguousarray(block)
 
+    def read_block_span(self, num_samp: int, start: int,
+                        stop: int) -> Optional[np.ndarray]:
+        """Random-access span read: materializes only [start, stop) of the
+        next block (each multi-host process touches only the samples its
+        devices own) while the stream position still advances by the full
+        block."""
+        n = self._data.shape[1]
+        if self._pos + num_samp > n:
+            if not self.loop:
+                return None
+            self._pos = 0
+            if num_samp > n:
+                raise ValueError("block longer than recording")
+        block = self._data[:, self._pos + start: self._pos + stop]
+        self._pos += num_samp
+        return np.ascontiguousarray(block)
+
 
 def save_recording(source: Source, path: str, num_samp: int, nblocks: int):
     """Capture ``nblocks`` aligned blocks from any source into a replayable
