@@ -24,6 +24,52 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 REFERENCE_AGGREGATE_SAMPLES_PER_S = 4.8e6  # BASELINE.md implied real-time rate
 
+#: Per-chip peak dense bf16 matmul throughput (flop/s) and HBM bandwidth
+#: (B/s) by device-kind substring — the roofline axes.
+_CHIP_PEAKS = {
+    "v5 lite": (197e12, 819e9),   # TPU v5e
+    "v5e": (197e12, 819e9),
+    "v5p": (459e12, 2765e9),
+    "v4": (275e12, 1228e9),
+    "v6": (918e12, 1640e9),       # Trillium
+}
+
+
+def roofline(samples_per_s: float, *, nbins: int, ntaps: int, nchan: int,
+             n_baselines: int, device_kind: str):
+    """Flops/bytes model of the fused FX step -> measured MFU + HBM use.
+
+    Model (per aggregate sample, from the kernel structure in
+    ops/pfb_pallas.py — each channel's sample passes once through FIR,
+    2-stage split-bf16 FFT, and the X-accumulate):
+
+      * MXU (bf16): both FFT stages are 3-pass bf16-split matmuls
+        contracting n1 then n2 -> 24*(n1+n2) flops/sample.
+      * VPU (f32): FIR 4*ntaps, twiddle ~6, X-stage 8*nbl/nch,
+        DC/means ~4.
+      * HBM: the input is read once (8 B/sample as f32 planes); outputs
+        are O(nbl*nbins) per block — negligible.
+
+    MFU is quoted against the chip's dense bf16 peak (MXU flops only —
+    the VPU terms are unavoidable non-matmul work, reported separately).
+    """
+    n1, n2 = nbins // 128, 128
+    mxu_per_sample = 24.0 * (n1 + n2)
+    vpu_per_sample = 4.0 * ntaps + 6.0 + 8.0 * n_baselines / nchan + 4.0
+    peak = next((v for k, v in _CHIP_PEAKS.items()
+                 if k in device_kind.lower()), None)
+    out = {
+        "model_mxu_flops_per_sample": mxu_per_sample,
+        "model_vpu_flops_per_sample": vpu_per_sample,
+        "mxu_tflops": round(samples_per_s * mxu_per_sample / 1e12, 2),
+        "hbm_gbps": round(samples_per_s * 8 / 1e9, 1),
+    }
+    if peak:
+        bf16_peak, hbm_peak = peak
+        out["mfu"] = round(samples_per_s * mxu_per_sample / bf16_peak, 3)
+        out["hbm_frac"] = round(samples_per_s * 8 / hbm_peak, 3)
+    return out
+
 
 def bench(block_pow: int = 21, nbins: int = 4096, nchan: int = 2,
           iters: int = 30, warmup: int = 5, mode: str = "SPECTRUM",
@@ -212,6 +258,9 @@ def main(argv=None):
     name = ("2ch_4096bin_pfb_fft_x_aggregate_throughput"
             if args.config == "default"
             else f"{args.config}_pfb_fft_x_aggregate_throughput")
+    nchan = kw.get("nchan", 2)
+    autos = kw.get("include_autos", False)
+    nbl = nchan * (nchan - 1) // 2 + (nchan if autos else 0)
     out = {
         "metric": name,
         "value": round(res["samples_per_s"], 1),
@@ -220,6 +269,9 @@ def main(argv=None):
             res["samples_per_s"] / REFERENCE_AGGREGATE_SAMPLES_PER_S, 3),
         "spectra_per_s": round(res["spectra_per_s"], 1),
         "device": str(jax.devices()[0]),
+        **roofline(res["samples_per_s"], nbins=kw.get("nbins", 4096),
+                   ntaps=kw.get("ntaps", 4), nchan=nchan, n_baselines=nbl,
+                   device_kind=jax.devices()[0].device_kind),
     }
     print(json.dumps(out))
 

@@ -44,10 +44,13 @@ def _cdot3_cmm(xr, xi, m_hi, m_lo, n):
     hi, lo = _split_bf16(x2)
     out = _dot3(hi, lo, m_hi, m_lo)
     return out[:, :n], out[:, n:]
-NBINS, N1, N2, NTAPS = 4096, 32, 128, 4
+NBINS = int(os.environ.get("NBINS", "4096"))
+N1, N2 = NBINS // 128, 128
+NTAPS = int(os.environ.get("NTAPS", "4"))
 TILE = int(os.environ.get("TILE", "16"))
-NCH, S = 2, 512  # 2^21 samples
-K = 64           # scan length
+NCH = 2
+S = int(os.environ.get("S", str(2 ** 21 // NBINS)))  # 2^21-sample blocks
+K = int(os.environ.get("K", "64"))  # scan length
 
 
 def kernel(*refs):
@@ -336,6 +339,8 @@ def build():
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
         )
     else:
         call = pl.pallas_call(
@@ -350,6 +355,8 @@ def build():
                            jnp.float32),
                 pltpu.SemaphoreType.DMA((2, 2 * NCH)),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
         )
     w = jnp.ones((NTAPS, NBINS), jnp.float32)
     consts = (w, c1h, c1l, s1h, s1l,
