@@ -207,6 +207,84 @@ def bench_pipeline(block_pow: int = 21, nbins: int = 4096, nchan: int = 2,
                 "blocks": cor.blocks_processed}
 
 
+def bench_host_pipeline(block_pow: int = 21, nchan: int = 2,
+                        seconds: float = 6.0, ingest: str = "complex64",
+                        channel_feeders: bool = True):
+    """HOST pipeline rate with the device sink stubbed: replayed source ->
+    per-channel parallel feeder threads -> rings -> aligner -> plane-split
+    staging buffers (the exact bytes a device_put would ship).  No JAX, no
+    H2D — this isolates the host data plane from the tunnel weather
+    (BASELINE config 4's >=100 MS/s ring-streaming clause; VERDICT r1
+    gap 2).  Every byte flows source read -> ring slot copy -> aligned
+    gather -> contiguous plane split, i.e. the full production path up to
+    the device boundary."""
+    import tempfile
+
+    from fxtpu.runtime.feeder import BlockAligner, Feeder
+    from fxtpu.runtime.native import make_ring
+    from fxtpu.sources import NoiseSource, save_recording
+    from fxtpu.sources.base import QuantizedSource
+    from fxtpu.sources.replay import ReplaySource
+
+    num_samp = 2 ** block_pow
+    if ingest == "int8":
+        ring_shape, ring_dtype = (num_samp, 2), np.int8
+    else:
+        ring_shape, ring_dtype = (num_samp,), np.complex64
+    with tempfile.TemporaryDirectory() as d:
+        rec = save_recording(NoiseSource(nchan=nchan, seed=1),
+                             f"{d}/rec.npy", num_samp, 4)
+
+        def make_chan_source(c):
+            src = ReplaySource(rec, loop=True).select_channels([c])
+            return QuantizedSource(src) if ingest == "int8" else src
+
+        bufs = [make_ring(8, ring_shape, dtype=ring_dtype)
+                for _ in range(nchan)]
+        if channel_feeders:
+            feeders = [Feeder(make_chan_source(c), [bufs[c]], num_samp)
+                       for c in range(nchan)]
+        else:
+            src = ReplaySource(rec, loop=True)
+            if ingest == "int8":
+                src = QuantizedSource(src)
+            feeders = [Feeder(src, bufs, num_samp)]
+        aligner = BlockAligner(bufs)
+        for f in feeders:
+            f.start()
+
+        # staging buffers: the contiguous planes a device_put would read
+        if ingest == "int8":
+            stage = [np.empty((nchan, num_samp), np.int8) for _ in range(2)]
+        else:
+            stage = [np.empty((nchan, num_samp), np.float32)
+                     for _ in range(2)]
+
+        blocks = 0
+        deadline = time.perf_counter() + seconds
+        t0 = time.perf_counter()
+        while time.perf_counter() < deadline:
+            block = aligner.get(timeout=1.0)
+            if block is None:
+                break
+            if ingest == "int8":
+                np.copyto(stage[0], block[..., 0])
+                np.copyto(stage[1], block[..., 1])
+            else:
+                np.copyto(stage[0], block.real)
+                np.copyto(stage[1], block.imag)
+            blocks += 1
+        dt = time.perf_counter() - t0
+        for f in feeders:
+            f.stop()
+        for f in feeders:
+            f.join(2.0)
+        rate = blocks * nchan * num_samp / dt
+        return {"samples_per_s": rate, "blocks": blocks,
+                "bytes_per_s": rate * (2 if ingest == "int8" else 8),
+                "drops": sum(b.drops for b in bufs)}
+
+
 CONFIGS = {
     # BASELINE.json config 1/headline: 2-ch 4096-bin spectrum correlate
     "default": dict(block_pow=21, nbins=4096, nchan=2),
@@ -225,18 +303,43 @@ CONFIGS = {
 def main(argv=None):
     import argparse
 
-    import jax
-
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="default", choices=sorted(CONFIGS))
     p.add_argument("--pipeline", action="store_true",
                    help="measure the end-to-end host pipeline instead of "
                         "the device step")
+    p.add_argument("--host_pipeline", action="store_true",
+                   help="measure the HOST data plane alone (device sink "
+                        "stubbed; no JAX/H2D) — isolates pipeline rate "
+                        "from tunnel weather")
+    p.add_argument("--single_feeder", action="store_true",
+                   help="host_pipeline: one multi-channel feeder thread "
+                        "instead of per-channel parallel feeders")
     p.add_argument("--ingest", default="complex64",
                    choices=["complex64", "int8"],
                    help="pipeline ingest dtype (int8 = 8-bit quantized)")
     p.add_argument("--iters", type=int, default=30)
     args = p.parse_args(argv)
+
+    if args.host_pipeline:
+        res = bench_host_pipeline(ingest=args.ingest,
+                                  channel_feeders=not args.single_feeder)
+        out = {
+            "metric": ("2ch_host_pipeline_throughput"
+                       if args.ingest == "complex64"
+                       else "2ch_host_pipeline_throughput_int8"),
+            "value": round(res["samples_per_s"], 1),
+            "unit": "samples/s",
+            "vs_baseline": round(
+                res["samples_per_s"] / REFERENCE_AGGREGATE_SAMPLES_PER_S, 3),
+            "bytes_per_s": round(res["bytes_per_s"], 1),
+            "drops": res["drops"],
+            "device": "host-only (device sink stubbed)",
+        }
+        print(json.dumps(out))
+        return
+
+    import jax
 
     if args.pipeline:
         res = bench_pipeline(ingest=args.ingest)

@@ -62,6 +62,15 @@ class ReplaySource(Source):
     def total_samples(self) -> int:
         return self._data.shape[1]
 
+    def select_channels(self, channels: Sequence[int]) -> "ReplaySource":
+        """Restrict this source to a subset of channels (zero-copy view).
+        Used by per-channel parallel feeders: each feeder thread owns an
+        independent single-channel ReplaySource over the same recording,
+        so channel reads run concurrently (numpy copies release the GIL)."""
+        self._data = self._data[list(channels)]
+        self.nchan = self._data.shape[0]
+        return self
+
     def read_block(self, num_samp: int) -> Optional[np.ndarray]:
         n = self._data.shape[1]
         if self._pos + num_samp > n:

@@ -2,6 +2,7 @@
 feeder supervision — the explicit-sequence-number discipline from
 SURVEY.md §5.2 that the reference (mp.Queue pairs) cannot test."""
 
+import os
 import threading
 import time
 from queue import Queue
@@ -264,3 +265,21 @@ class TestNativeRing:
             if best > 100e6:
                 break
         assert best > 100e6, f"only {best/1e6:.0f} Msamp/s"
+
+
+def test_host_pipeline_bench_smoke():
+    """The host-isolated pipeline bench (device sink stubbed) runs and
+    accounts drops; the real rates are recorded by `python bench.py
+    --host_pipeline` (>=100 MS/s with per-channel feeders on the bench
+    host — BASELINE config 4's streaming clause)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    res = bench.bench_host_pipeline(block_pow=16, seconds=0.5)
+    assert res["samples_per_s"] > 1e6
+    assert res["drops"] == 0
+    res8 = bench.bench_host_pipeline(block_pow=16, seconds=0.5,
+                                     ingest="int8")
+    assert res8["samples_per_s"] > 1e6
