@@ -108,9 +108,13 @@ def _pick_tile(s_rows: int, ntaps: int, want: int = 16):
     tile >= halo_pad (so tile t>0 can read its full context slab).
     want=16 keeps the double-buffered slab + HIGHEST-precision matmul
     intermediates inside the 16 MB VMEM budget at nbins=4096; deep-tap
-    PFBs raise it to the halo size."""
+    PFBs raise it to TWICE the halo size — every tile re-reads `pad`
+    halo rows, so tile=pad means 2x HBM read amplification (measured as
+    the dominant wideband cost) while tile=2*pad is 1.5x."""
     pad = _halo_pad(ntaps)
-    want = max(want, pad)
+    want = max(want, 2 * pad if pad > 16 else pad)
+    import os as _os
+    want = int(_os.environ.get("FXTPU_FUSED_TILE", "0")) or want
     for tile in range(min(want, s_rows), 0, -1):
         if s_rows % tile == 0 and tile % 8 == 0 and tile >= pad:
             return tile
@@ -286,6 +290,87 @@ def _split_bf16(x):
     return hi, lo
 
 
+# ---------------------------------------------------------------------------
+# Deep-tap FIR as a banded MXU matmul (the wideband fix).
+#
+# Measured on v5e at the 32-tap/8192-bin wideband shape, the in-kernel FIR
+# tap loop ALONE runs at 4.9 GS/s — slower than the whole unfused XLA path
+# (7.3) — because every tap is a sublane-misaligned [tile, nbins] VMEM
+# slice (32 shifted reads + rotates per plane).  But the PFB window matrix
+# w[ntaps, nbins] is a SMOOTH windowed-sinc sampled on a grid, so its SVD
+# collapses: rank 8 reproduces the 32-tap/8192-bin window to 2.3e-8 and
+# rank 12 to 1.6e-13 (machine precision).  Writing w = sum_k u_k v_k^T:
+#
+#   fir[f, b] = sum_t w[t, b] x[f+t, b]
+#             = sum_k v_k[b] * (sum_t u_k[t] x[f+t, b])
+#
+# and each inner term is a convolution with SCALAR taps u_k — expressible
+# as ONE banded matmul B @ slab with B[k*tile+f, off+f+t] = u_k[t]:
+# [r*tile, tile+pad] @ [tile+pad, nbins] on the MXU, reading the slab
+# aligned exactly once, followed by r pointwise v_k multiply-adds on the
+# VPU.  The 2*ntaps VPU ops/sample/plane become ~2r ops + MXU flops that
+# are a rounding error against the FFT stages.
+# ---------------------------------------------------------------------------
+
+#: Use the SVD form at or above this many taps ('auto'); below it the
+#: direct tap loop is cheap and exact.
+SVD_FIR_MIN_TAPS = 16
+
+#: Keep singular vectors down to this relative magnitude — 1e-7 sits two
+#: decades below the pipeline's measured 3.1e-5 precision floor.
+_SVD_TOL = 1e-7
+
+
+@functools.lru_cache(maxsize=32)
+def _svd_fir_factors(w_key, nbins: int):
+    """(u [ntaps, r], v [r, nbins]) f64 with u @ v ~= w to _SVD_TOL, or
+    None when the factorization wouldn't beat the direct loop."""
+    w2d = np.asarray(w_key, np.float64).reshape(-1, nbins)
+    ntaps = w2d.shape[0]
+    if ntaps < SVD_FIR_MIN_TAPS:
+        return None
+    uu, ss, vt = np.linalg.svd(w2d, full_matrices=False)
+    r = max(int(np.sum(ss > _SVD_TOL * ss[0])), 1)
+    if r >= ntaps:
+        return None  # full rank: nothing to gain
+    return uu[:, :r] * ss[:r], vt[:r]
+
+
+def _stage1_group(n1: int, tile: int) -> int:
+    """Frames batched per stage-1 left matmul.  n1 <= 32 (flagship):
+    per-frame dots are already efficient and the lane concats cost more
+    than they save -> 1.  n1 >= 64 (wideband): the [2n1, 2n1] dots are
+    latency-bound at n2=128 lanes, so group frames onto the lanes."""
+    if n1 < 64:
+        return 1
+    for g in (8, 4, 2):
+        if tile % g == 0:
+            return g
+    return 1
+
+
+#: Output rows per banded-matmul chunk.  Chunking at the 8-row sublane
+#: tile keeps the contraction K = pad + 8 (vs tile + pad for a monolithic
+#: band — 1.6x fewer flops at tile=32/ntaps=32 since the band is only
+#: ntaps wide), every slab window slice 8-aligned, and the live conv
+#: output at [r*8, nbins] instead of [r*tile, nbins].
+_SVD_SUB = 8
+
+
+def _svd_fir_band(u: np.ndarray, pad: int, ntaps: int,
+                  sub: int = _SVD_SUB):
+    """The stacked banded matrix B [r*sub, pad+sub] (f32): row k*sub+f
+    convolves window rows [f+off, f+off+ntaps) with u[:, k] — the SAME
+    matrix serves every 8-row chunk of every tile."""
+    r = u.shape[1]
+    off = pad - (ntaps - 1)
+    band = np.zeros((r * sub, pad + sub), np.float32)
+    for k in range(r):
+        for f in range(sub):
+            band[k * sub + f, off + f: off + f + ntaps] = u[:, k]
+    return band
+
+
 def _dot3(x_hi, x_lo, m_hi, m_lo):
     """x @ m at ~HIGH precision from bf16 splits, f32 accumulation."""
     kw = dict(preferred_element_type=jnp.float32)
@@ -304,10 +389,10 @@ def _cdot3(xr, xi, mc_hi, mc_lo, ms_hi, ms_lo):
     return out_re, out_im
 def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                m1l_ref, twc_ref, tws_ref, m2h_ref, m2l_ref,
-               out_ref, tout_ref, uout_ref, sout_ref, hout_ref,
-               slab, hist_s, sums_s, sems,
-               *, tile: int, ntaps: int, n1: int, n2: int,
-               n_tiles: int, nch: int, k_blocks: int, pairs):
+               *rest,
+               tile: int, ntaps: int, n1: int, n2: int,
+               n_tiles: int, nch: int, k_blocks: int, pairs,
+               svd_r: int = 0, g1: int = 1):
     """Grid (K, n_tiles), sequential.  Per program: DMA one slab of PFB
     rows (double-buffered, prefetching the NEXT program's slab), FIR,
     transpose-free 2-stage split-bf16 FFT, and accumulate per block:
@@ -324,7 +409,23 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
     boundaries through the `hist_s` VMEM scratch (the RAW tail; corrected
     outside before it leaves as the step's history output) — no HBM round
     trip and no lax.scan (whose per-iteration input dynamic-slice costs a
-    full HBM copy of the block)."""
+    full HBM copy of the block).
+
+    ``svd_r > 0`` switches the FIR from the direct tap loop to the
+    rank-``svd_r`` banded-matmul form (see the SVD-FIR block comment
+    above): three extra refs (band hi/lo, v) precede the outputs.
+
+    Debug-only: FXTPU_FUSED_ABLATE=dma|fir|fft1 (read at trace time)
+    truncates the per-tile pipeline after that stage, for localizing
+    kernel time on hardware (results are wrong by design)."""
+    import os as _os
+    _abl = _os.environ.get("FXTPU_FUSED_ABLATE", "")
+    if svd_r:
+        (bh_ref, bl_ref, v_ref, out_ref, tout_ref, uout_ref, sout_ref,
+         hout_ref, slab, hist_s, sums_s, sems) = rest
+    else:
+        (out_ref, tout_ref, uout_ref, sout_ref, hout_ref,
+         slab, hist_s, sums_s, sems) = rest
     k = pl.program_id(0)
     t = pl.program_id(1)
     g = k * n_tiles + t
@@ -417,35 +518,86 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
         si = jnp.sum(plane_im[pad:])
         ssum = ssum + jnp.where(lane == 2 * c, sr, 0.0) \
             + jnp.where(lane == 2 * c + 1, si, 0.0)
-        fir_re = w_ref[0] * plane_re[off:off + tile]
-        fir_im = w_ref[0] * plane_im[off:off + tile]
-        for tap in range(1, ntaps):
-            fir_re = fir_re + w_ref[tap] * plane_re[off + tap:
-                                                    off + tap + tile]
-            fir_im = fir_im + w_ref[tap] * plane_im[off + tap:
-                                                    off + tap + tile]
+        if _abl == "dma":
+            spec.append((plane_re[:tile].reshape(tile, n1, n2),
+                         plane_im[:tile].reshape(tile, n1, n2)))
+            continue
+        if svd_r:
+            # banded MXU matmul + r pointwise v-combines (SVD-FIR), in
+            # 8-row chunks: each chunk's slab window starts sublane-
+            # aligned and is read exactly once — no per-tap rotated
+            # slices, and the conv intermediate stays [r*8, nbins]
+            kw3 = dict(preferred_element_type=jnp.float32)
+            sub = _SVD_SUB
+            win = pad + sub
+
+            def conv_chunk(plane, c0):
+                hi, lo = _split_bf16(plane[c0:c0 + win])
+                return (jnp.dot(bh_ref[:], hi, **kw3)
+                        + jnp.dot(bl_ref[:], hi, **kw3)
+                        + jnp.dot(bh_ref[:], lo, **kw3))  # [r*sub, nbins]
+
+            def fir_chunks(plane):
+                out = []
+                for cc in range(tile // sub):
+                    cv = conv_chunk(plane, cc * sub)
+                    acc = v_ref[0] * cv[0:sub]
+                    for kk2 in range(1, svd_r):
+                        acc = acc + v_ref[kk2] * cv[kk2 * sub:
+                                                    (kk2 + 1) * sub]
+                    out.append(acc)
+                return jnp.concatenate(out, axis=0)
+
+            fir_re = fir_chunks(plane_re)
+            fir_im = fir_chunks(plane_im)
+        else:
+            fir_re = w_ref[0] * plane_re[off:off + tile]
+            fir_im = w_ref[0] * plane_im[off:off + tile]
+            for tap in range(1, ntaps):
+                fir_re = fir_re + w_ref[tap] * plane_re[off + tap:
+                                                        off + tap + tile]
+                fir_im = fir_im + w_ref[tap] * plane_im[off + tap:
+                                                        off + tap + tile]
         # stage 1 contracts the major digit i1 over the row axis with a
-        # LEFT matmul per PFB frame — NO transposes anywhere:
+        # LEFT matmul per FRAME GROUP — NO transposes anywhere:
         #   [re(k1); im(k1)] = [[C1,-S1],[S1,C1]] @ [xr(i1); xi(i1)]
-        # one [2*n1, 2*n1] @ [2*n1, n2] product per frame per split pass
+        # one [2*n1, 2*n1] @ [2*n1, g1*n2] product per group per split
+        # pass.  g1 is shape-dependent (static, from _stage1_group): at
+        # the flagship n1=32 the concats cost more than the saved
+        # dispatches (21.8 vs 22.9 GS/s at G=4) so g1=1; at wideband
+        # n1=64 the per-frame [128,128]@[128,128] dots are latency-bound
+        # and grouping frames onto the lanes wins.
+        if _abl == "fir":
+            spec.append((fir_re.reshape(tile, n1, n2),
+                         fir_im.reshape(tile, n1, n2)))
+            continue
         f3r = fir_re.reshape(tile, n1, n2)
         f3i = fir_im.reshape(tile, n1, n2)
-        # (grouping G frames per matmul along the lanes measured SLOWER —
-        # 21.8 vs 22.9 GS/s at G=4: the concats cost more than the saved
-        # dot dispatches — so one left matmul per frame it is)
         brs, bis = [], []
-        for fr in range(tile):
-            x2 = jnp.concatenate([f3r[fr], f3i[fr]], axis=0)  # [2n1, n2]
+        for base in range(0, tile, g1):
+            if g1 == 1:
+                x2 = jnp.concatenate([f3r[base], f3i[base]], axis=0)
+            else:
+                x2 = jnp.concatenate(
+                    [jnp.concatenate([f3r[base + g], f3i[base + g]],
+                                     axis=0) for g in range(g1)],
+                    axis=1)                       # [2n1, g1*n2]
             hi, lo = _split_bf16(x2)
             a = (jnp.dot(m1h_ref[:], hi, **kw)
                  + jnp.dot(m1l_ref[:], hi, **kw)
                  + jnp.dot(m1h_ref[:], lo, **kw))
-            ar, ai = a[:n1], a[n1:]
-            # twiddle W_N^{i2*k1}, arranged [k1, i2] (natural layout)
-            brs.append(ar * twc_ref[:] - ai * tws_ref[:])
-            bis.append(ar * tws_ref[:] + ai * twc_ref[:])
+            for g in range(g1):
+                ar = a[:n1, g * n2:(g + 1) * n2]
+                ai = a[n1:, g * n2:(g + 1) * n2]
+                # twiddle W_N^{i2*k1}, arranged [k1, i2] (natural layout)
+                brs.append(ar * twc_ref[:] - ai * tws_ref[:])
+                bis.append(ar * tws_ref[:] + ai * twc_ref[:])
         # stage 2 contracts i2 over the LANES: one combined right matmul
         #   [re | im] = [br | bi] @ [[C2, S2], [-S2, C2]]
+        if _abl == "fft1":
+            spec.append((jnp.concatenate(brs, 0).reshape(tile, n1, n2),
+                         jnp.concatenate(bis, 0).reshape(tile, n1, n2)))
+            continue
         br2 = jnp.concatenate(brs, axis=0)   # [tile*n1 (k1-rows), n2 (i2)]
         bi2 = jnp.concatenate(bis, axis=0)
         x2 = jnp.concatenate([br2, bi2], axis=1)        # [tile*n1, 2*n2]
@@ -527,9 +679,10 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
             out_ref[0, ib, 1] += acc_im
 
 
-@functools.partial(jax.jit, static_argnames=("nbins", "tile", "pairs_t"))
+@functools.partial(jax.jit,
+                   static_argnames=("nbins", "tile", "pairs_t", "w_key"))
 def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
-             pairs_t):
+             pairs_t, w_key=None):
     interpret = jax.default_backend() != "tpu"
     k_blocks, nch, s_rows, _ = x_re.shape
     ntaps = w2d.shape[0]
@@ -560,11 +713,25 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
     nbl = len(pairs_t)
     pad = _halo_pad(ntaps)
 
+    # Deep-tap FIR: rank factorization -> banded-matmul inputs (see the
+    # SVD-FIR block comment).  w_key is the static window fingerprint.
+    fac = _svd_fir_factors(w_key, nbins) if w_key is not None else None
+    g1 = _stage1_group(n1, tile)
+    svd_r = 0
+    svd_inputs = []
+    if fac is not None:
+        u, v = fac
+        svd_r = u.shape[1]
+        band = _svd_fir_band(u, pad, ntaps)
+        bh, bl = split_np(band)
+        svd_inputs = [bh, bl, jnp.asarray(v.astype(np.float32))]
+
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fx_kernel, tile=tile, ntaps=ntaps,
                           n1=n1, n2=n2, n_tiles=s_rows // tile, nch=nch,
-                          k_blocks=k_blocks, pairs=pairs_t),
+                          k_blocks=k_blocks, pairs=pairs_t, svd_r=svd_r,
+                          g1=g1),
         grid=(k_blocks, s_rows // tile),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),    # x re (manual DMA)
@@ -574,7 +741,7 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
             vmem, vmem,                              # stage-1 mat hi/lo
             vmem, vmem,                              # twiddle cos/sin f32
             vmem, vmem,                              # stage-2 mat hi/lo
-        ],
+        ] + [vmem] * len(svd_inputs),                # SVD band hi/lo + v
         out_specs=(
             pl.BlockSpec((1, nbl, 2, n1, n2), lambda k, t: (k, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),   # raw cross power
@@ -610,7 +777,7 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
         interpret=interpret,
     )(x_re, x_im, hist_stacked, w2d, m1h, m1l,
       jnp.asarray(np.ascontiguousarray(twc)),
-      jnp.asarray(np.ascontiguousarray(tws)), m2h, m2l)
+      jnp.asarray(np.ascontiguousarray(tws)), m2h, m2l, *svd_inputs)
 
 
 def _fx_perm(nbins: int) -> np.ndarray:
@@ -708,9 +875,10 @@ def fx_pallas_parts(x: Cplx, w2d, nbins: int, history: Cplx, pairs):
     hist = jnp.stack([history.re, history.im], axis=1).astype(jnp.float32)
     hist = jnp.pad(hist, ((0, 0), (0, 0), (pad - halo, 0), (0, 0)))
     pairs_t = tuple((int(p), int(q)) for p, q in np.asarray(pairs))
+    w_key = tuple(np.asarray(w2d, np.float64).ravel())
     out, tsum, ufr, ssum, hist_out = _fx_call(
         rows_re.astype(jnp.float32), rows_im.astype(jnp.float32), hist,
-        jnp.asarray(w2d, jnp.float32), nbins, tile, pairs_t)
+        jnp.asarray(w2d, jnp.float32), nbins, tile, pairs_t, w_key=w_key)
     inv = jnp.asarray(_fx_perm(nbins))
     nbl = out.shape[1]
 

@@ -416,3 +416,68 @@ def test_calibrator_nchan4_distinct_delays(rng):
     # estimate_delay(ref=ch0, x=chc) returns how much chc lags ch0: +d.
     for c in range(4):
         assert abs(got_samps[c] - true_samps[c]) < 0.5, (c, got_samps)
+
+
+class TestSvdFir:
+    """Deep-tap SVD-FIR (banded MXU matmul form, ops/pfb_pallas.py): the
+    rank factorization must reproduce the direct tap loop through the
+    whole fused step."""
+
+    def test_factors_rank_and_accuracy(self):
+        from fxtpu.ops.pfb_pallas import _svd_fir_factors
+        from fxtpu.ops.window import pfb_window
+        w = pfb_window(32, 512, "hamming").reshape(32, 512)
+        fac = _svd_fir_factors(tuple(w.astype(np.float64).ravel()), 512)
+        assert fac is not None
+        u, v = fac
+        assert u.shape[1] <= 12  # smooth windowed-sinc collapses
+        err = np.abs(u @ v - w).max() / np.abs(w).max()
+        assert err < 1e-6
+        # shallow-tap windows stay on the exact direct loop
+        w4 = pfb_window(4, 512, "hamming").reshape(4, 512)
+        assert _svd_fir_factors(tuple(w4.astype(np.float64).ravel()),
+                                512) is None
+
+    def test_deep_tap_fused_step_matches_unfused(self):
+        """32-tap fused step (SVD-FIR active) == unfused planes path."""
+        cfg = CorrelatorConfig(mode="SPECTRUM", num_samp=2**13, nbins=256,
+                               ntaps=32, clamp_num_samp=False)
+        rng = np.random.default_rng(9)
+        x = (rng.normal(size=(2, cfg.num_samp))
+             + 1j * rng.normal(size=(2, cfg.num_samp))).astype(np.complex64)
+        delays = jnp.asarray([0.0, 4e-7], jnp.float32)
+        eng_u = FxEngine(cfg, fused=False)
+        eng_f = FxEngine(cfg, fused=True)
+        from fxtpu.ops.pfb_pallas import _svd_fir_factors
+        assert _svd_fir_factors(
+            tuple(eng_f.window2d.astype(np.float64).ravel()),
+            cfg.nbins) is not None  # the SVD path is the one under test
+        vu, hu = eng_u.step(eng_u.prepare_block(x), delays,
+                            eng_u.fresh_history())
+        vf, hf = eng_f.step(eng_f.prepare_block(x), delays,
+                            eng_f.fresh_history())
+        scale = np.abs(to_complex(vu)).max()
+        np.testing.assert_allclose(to_complex(vf), to_complex(vu),
+                                   atol=3e-5 * scale)
+        np.testing.assert_allclose(to_complex(hf), to_complex(hu),
+                                   atol=1e-6)
+
+    def test_deep_tap_streaming_history_chain(self):
+        """Two chained 32-tap fused blocks == two chained unfused blocks
+        (the SVD-FIR path preserves the streaming history contract)."""
+        cfg = CorrelatorConfig(mode="SPECTRUM", num_samp=2**13, nbins=256,
+                               ntaps=32, clamp_num_samp=False)
+        rng = np.random.default_rng(10)
+        blocks = [(rng.normal(size=(2, cfg.num_samp))
+                   + 1j * rng.normal(size=(2, cfg.num_samp))
+                   ).astype(np.complex64) for _ in range(2)]
+        delays = jnp.zeros((2,), jnp.float32)
+        eng_u = FxEngine(cfg, fused=False)
+        eng_f = FxEngine(cfg, fused=True)
+        hu, hf = eng_u.fresh_history(), eng_f.fresh_history()
+        for b in blocks:
+            vu, hu = eng_u.step(eng_u.prepare_block(b), delays, hu)
+            vf, hf = eng_f.step(eng_f.prepare_block(b), delays, hf)
+        scale = np.abs(to_complex(vu)).max()
+        np.testing.assert_allclose(to_complex(vf), to_complex(vu),
+                                   atol=3e-5 * scale)
