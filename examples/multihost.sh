@@ -1,0 +1,17 @@
+#!/usr/bin/env bash
+# Multi-host correlator run: the SAME command on every host, one process
+# per host (here: 2 local processes with 4 virtual CPU devices each).
+# Each process feeds only the sample span its mesh devices own
+# (fxtpu.parallel.ingest.local_sample_span); process 0 writes the CSV.
+# On a real TPU pod, replace --coordinator with host0's address and drop
+# --local_devices (the TPU runtime supplies the per-host devices).
+set -e
+COORD=127.0.0.1:9731
+REC=${1:?usage: multihost.sh recording.npy}
+ARGS="--source replay --replay_file $REC --num_samp 16384 --resolution 256 \
+      --mode spectrum --omit_plot --no_keyboard --output /tmp/vis_mh.csv \
+      --num_processes 2 --coordinator $COORD --local_devices 4"
+python -m fxtpu $ARGS --process_id 1 &
+python -m fxtpu $ARGS --process_id 0
+wait
+echo "product: /tmp/vis_mh.csv"

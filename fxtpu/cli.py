@@ -92,11 +92,32 @@ def build_parser() -> argparse.ArgumentParser:
                         help="IQ ingest dtype: int8 streams 8-bit quantized "
                              "samples through rings + H2D (4x fewer bytes; "
                              "radio ADCs are 8-bit), dequantized on-device.")
+    # --- multi-host (run the same command on every host) -------------------
+    parser.add_argument("--num_processes", default=1, type=int,
+                        help="Multi-host: total controller processes. Run "
+                             "this CLI once per host with a distinct "
+                             "--process_id; each feeds only the sample span "
+                             "its devices own, process 0 writes products.")
+    parser.add_argument("--process_id", default=0, type=int,
+                        help="Multi-host: this process's id [0, N).")
+    parser.add_argument("--coordinator", default="127.0.0.1:9731", type=str,
+                        help="Multi-host: coordinator address host:port "
+                             "(jax.distributed.initialize).")
+    parser.add_argument("--local_devices", default=4, type=int,
+                        help="Multi-host on CPU: virtual devices per "
+                             "process (ignored on real TPU hosts).")
     return parser
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if args.num_processes > 1:
+        # Bring up the multi-controller runtime BEFORE any backend touch;
+        # every host runs this same CLI with its own --process_id.
+        from fxtpu.parallel.multihost import init_runtime
+        init_runtime(args.process_id, args.num_processes, args.coordinator,
+                     args.local_devices)
 
     cfg = CorrelatorConfig(
         run_time=args.run_time,
@@ -128,13 +149,24 @@ def main(argv=None):
     )
 
     mesh = None
-    if cfg.mesh_time * cfg.mesh_freq > 1:
+    if args.num_processes > 1 and cfg.mesh_time * cfg.mesh_freq <= 1:
+        # default multi-host mesh: all global devices, freq=2 when even
+        import jax
+
+        from fxtpu.parallel import make_correlator_mesh
+        n = len(jax.devices())
+        f = 2 if n % 2 == 0 else 1
+        mesh = make_correlator_mesh(n // f, f)
+    elif cfg.mesh_time * cfg.mesh_freq > 1:
         from fxtpu.parallel import make_correlator_mesh
         mesh = make_correlator_mesh(cfg.mesh_time, cfg.mesh_freq)
 
     from fxtpu.correlator import Correlator
     cor = Correlator(config=cfg, mesh=mesh)
     cor.run_state_machine()
+
+    if not cor._is_primary:
+        return cor  # only process 0 holds products to post-process
 
     # Reload our own CSV and post-process (effex.py:784-807).
     if cor.writer is not None:

@@ -152,3 +152,40 @@ def test_span_sources_match_full_reads():
         full = q1.read_block(1024)
         span = q2.read_block_span(1024, 0, 512)
         np.testing.assert_array_equal(full[:, :512], span)
+
+
+def test_cli_multiprocess_run(tmp_path):
+    """The CLI itself drives a 2-process distributed run (the same
+    command a real pod runs per host): process 0 writes a valid CSV."""
+    import subprocess
+    import sys
+
+    from fxtpu.parallel.multihost import _free_port
+    from fxtpu.products import load_products
+    from fxtpu.sources import NoiseSource, save_recording
+
+    rec = save_recording(NoiseSource(nchan=2, seed=4), str(tmp_path / "r.npy"),
+                         NUM_SAMP, 3)
+    out = str(tmp_path / "vis_mh.csv")
+    coord = f"127.0.0.1:{_free_port()}"
+    common = [sys.executable, "-m", "fxtpu", "--source", "replay",
+              "--replay_file", rec, "--num_samp", str(NUM_SAMP),
+              "--resolution", str(NBINS), "--mode", "spectrum",
+              "--omit_plot", "--no_keyboard", "--output", out,
+              "--num_processes", "2", "--coordinator", coord,
+              "--local_devices", "4", "-L", "WARNING"]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(common + ["--process_id", str(i)], env=env,
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        o, _ = p.communicate(timeout=600)
+        outs.append(o)
+    assert all(p.returncode == 0 for p in procs), outs
+    md, data = load_products(out)
+    assert md["mode"] == "SPECTRUM"
+    assert data.shape == (2, NBINS)  # 3 blocks - 1 calibration block
+    assert np.all(np.isfinite(data))
