@@ -74,7 +74,7 @@ def roofline(samples_per_s: float, *, nbins: int, ntaps: int, nchan: int,
 def bench(block_pow: int = 21, nbins: int = 4096, nchan: int = 2,
           iters: int = 30, warmup: int = 5, mode: str = "SPECTRUM",
           ntaps: int = 4, include_autos: bool = False,
-          blocks_per_call: int = 128):
+          blocks_per_call: int = 128, ingest: str = "complex64"):
     # measured on v5e: 2^21-sample blocks x 128 per dispatch = 9.95 GS/s
     # (the per-iteration working set fits VMEM better than 2^22 blocks:
     # 2^22/K=16 gives 6.93, 2^21/K=64 gives 9.17; 2^21/K=256 OOMs at the
@@ -93,14 +93,20 @@ def bench(block_pow: int = 21, nbins: int = 4096, nchan: int = 2,
     cfg = CorrelatorConfig(mode=mode, nchan=nchan, num_samp=num_samp,
                            nbins=nbins, ntaps=ntaps,
                            include_autos=include_autos,
-                           clamp_num_samp=False)
+                           clamp_num_samp=False, ingest_dtype=ingest)
     eng = FxEngine(cfg)
     rng = np.random.default_rng(0)
     k = max(1, blocks_per_call)
-    blocks = [eng.prepare_block(
-        (rng.normal(size=(nchan, num_samp)).astype(np.float32)
-         + 1j * rng.normal(size=(nchan, num_samp)).astype(np.float32)))
-        for _ in range(k)]
+    if ingest == "int8":
+        # production radio samples: 8-bit quantized IQ planes
+        blocks = [eng.prepare_block(
+            rng.integers(-127, 128, size=(nchan, num_samp, 2)
+                         ).astype(np.int8)) for _ in range(k)]
+    else:
+        blocks = [eng.prepare_block(
+            (rng.normal(size=(nchan, num_samp)).astype(np.float32)
+             + 1j * rng.normal(size=(nchan, num_samp)).astype(np.float32)))
+            for _ in range(k)]
     history = eng.fresh_history()
 
     if k == 1:
@@ -293,6 +299,11 @@ CONFIGS = {
     # VMEM-fit effect as the flagship shape)
     "wideband": dict(block_pow=21, nbins=8192, nchan=2, ntaps=32,
                      blocks_per_call=64),
+    # config 4 at the PRODUCTION ingest width: radio samples are 8-bit, and
+    # the int8-NATIVE fused kernel (int8 slab, 2-pass SVD-FIR conv,
+    # raw-tail history) beats the XLA path at deep taps
+    "wideband_int8": dict(block_pow=21, nbins=8192, nchan=2, ntaps=32,
+                          blocks_per_call=32, ingest="int8"),
     # config 5: 8-input FX correlator (36 baselines with autos); Gram-matmul
     # X-stage (5.63 GS/s vs 1.85 with per-pair gathers at this shape)
     "nchan8": dict(block_pow=20, nbins=4096, nchan=8, include_autos=True,

@@ -733,7 +733,7 @@ class Correlator:
         from fxtpu.ops.cplx import to_complex
         state = checkpoint.load_state(path)
         hist = state["history"]
-        if self.engine.impl == "planes":
+        if isinstance(hist, dict) or self.engine.impl == "planes":
             self.history = hist
         else:
             self.history = jnp.asarray(to_complex(hist))

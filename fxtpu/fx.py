@@ -53,14 +53,17 @@ def _continuum_planes(vis: Cplx, bandwidth) -> Cplx:
                 jnp.mean(vis.im, axis=-1) / bandwidth)
 
 
-def _resolve_fused(fused, nbins, ntaps, s_rows, nch: int = 2) -> bool:
+def _resolve_fused(fused, nbins, ntaps, s_rows, nch: int = 2,
+                   int8_svd: bool = False) -> bool:
     """'auto' -> ON for supported SHALLOW-TAP shapes when running on TPU:
     the fused full-step Pallas kernel (DC+FIR+FFT+X in VMEM, transpose-free
     split-bf16 stages) measures 18.9 GS/s vs 10.4 for the XLA path at the
     flagship 2ch/4-tap/4096-bin shape and 15.6 vs 5.7 at 8ch/36-baseline
-    (see ops/pfb_pallas.py); it still wins at 16 taps (9.3 vs 8.2) — but
-    at 32 taps the in-kernel FIR and slab dominate and the XLA path wins
-    (4.6 vs 6.8 on the wideband config), so 'auto' caps at ntaps <= 16.
+    (see ops/pfb_pallas.py); it still wins at 16 taps (9.3 vs 8.2).  At
+    32 taps the f32 kernel is compute-bound and the XLA path wins (6.5 vs
+    7.3 on the wideband config) so 'auto' caps f32 at ntaps <= 16 — but
+    the int8-NATIVE kernel beats everything there (7.55 GS/s), so int8
+    ingest with an SVD-factorizable deep-tap window turns fused on.
     CPU runs Pallas only in slow interpret mode, so 'auto' stays off there
     (tests opt in explicitly).  An explicit fused=True forces the kernel
     for any supported shape."""
@@ -68,7 +71,13 @@ def _resolve_fused(fused, nbins, ntaps, s_rows, nch: int = 2) -> bool:
 
     from fxtpu.ops import pfb_pallas
     if fused == "auto":
-        fused = jax.default_backend() in ("tpu",) and ntaps <= 16
+        # deep taps: the XLA path wins for f32 ingest (HBM-bound vs our
+        # compute-bound kernel, docs/design.md §8a) — but the int8-NATIVE
+        # kernel (int8 slab + 2-pass SVD conv) beats it (7.55 vs 7.28
+        # GS/s at 32 taps/8192 bins on v5e), so 'auto' turns fused on
+        # whenever the int8 deep-tap path applies.
+        fused = jax.default_backend() in ("tpu",) and (ntaps <= 16
+                                                       or int8_svd)
     return bool(fused) and pfb_pallas.supported(nbins, ntaps, s_rows, nch)
 
 
@@ -148,10 +157,14 @@ def _make_planes_core(*, mode: str, nbins: int, w2d, pairs_a,
     if use_fused:
         pairs_np = np.asarray(pairs_a)
 
-        def fused_core(iq: Cplx, delays, history: Cplx):
+        def fused_core(iq: Cplx, delays, history):
             from fxtpu.ops.pfb_pallas import fx_pallas_raw
-            iq = _dequant(iq, quant_step)
-            xp, new_hist = fx_pallas_raw(iq, w2d, nbins, history, pairs_np)
+            if not isinstance(history, dict):
+                # f32 path (or shallow-tap int8: dequantized on-device
+                # before the kernel)
+                iq = _dequant(iq, quant_step)
+            xp, new_hist = fx_pallas_raw(iq, w2d, nbins, history, pairs_np,
+                                         quant_step=quant_step)
             n_frames = (iq.shape[-2] if iq.re.ndim == 3
                         else iq.shape[-1] // nbins)
             vis = _finish_fused(xp, delays, pairs_np, nbins, n_frames,
@@ -177,11 +190,22 @@ def _make_planes_core(*, mode: str, nbins: int, w2d, pairs_a,
     return core
 
 
+def _int8_svd_applies(window2d, nbins: int, int8_ingest: bool) -> bool:
+    """True when the int8-NATIVE fused path exists for this window:
+    int8 ingest + an SVD-factorizable (deep-tap) PFB window."""
+    if not int8_ingest:
+        return False
+    from fxtpu.ops.pfb_pallas import _svd_fir_factors
+    return _svd_fir_factors(
+        tuple(np.asarray(window2d, np.float64).ravel()), nbins) is not None
+
+
 def make_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
                  pairs: np.ndarray, bandwidth: float, frequency: float,
                  num_samp: int, impl: str = "planes",
                  mesh: Optional[jax.sharding.Mesh] = None,
-                 fused="auto", quant_step: float = 1.0 / 32):
+                 fused="auto", quant_step: float = 1.0 / 32,
+                 int8_ingest: bool = False):
     """Build the jitted per-block step:
 
         step(iq [nch, num_samp], delays [nch], history [nch, ntaps-1, nbins])
@@ -208,7 +232,9 @@ def make_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
     nch = int(np.asarray(pairs).max()) + 1
     if impl == "planes":
         w2d = jnp.asarray(window2d, dtype=jnp.float32)
-        use_fused = _resolve_fused(fused, nbins, ntaps, s_rows, nch)
+        use_fused = _resolve_fused(
+            fused, nbins, ntaps, s_rows, nch,
+            int8_svd=_int8_svd_applies(window2d, nbins, int8_ingest))
         core = _make_planes_core(
             mode=mode, nbins=nbins, w2d=w2d, pairs_a=pairs_a,
             bandwidth=bandwidth, frequency=frequency, use_fused=use_fused,
@@ -245,7 +271,8 @@ def make_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
 def make_fx_multi_step(*, mode: str, nbins: int, window2d: np.ndarray,
                        pairs: np.ndarray, bandwidth: float, frequency: float,
                        num_samp: int, fused="auto",
-                       quant_step: float = 1.0 / 32):
+                       quant_step: float = 1.0 / 32,
+                       int8_ingest: bool = False):
     """K-blocks-per-dispatch variant (planes impl):
 
         multi(iq [K, nch, num_samp], delays [K, nch], history)
@@ -264,7 +291,9 @@ def make_fx_multi_step(*, mode: str, nbins: int, window2d: np.ndarray,
     continuum = mode in ("CONTINUUM", "TEST")
     w2d = jnp.asarray(window2d, dtype=jnp.float32)
     nch = int(np.asarray(pairs).max()) + 1
-    use_fused = _resolve_fused(fused, nbins, ntaps, s_rows, nch)
+    use_fused = _resolve_fused(
+        fused, nbins, ntaps, s_rows, nch,
+        int8_svd=_int8_svd_applies(window2d, nbins, int8_ingest))
 
     if use_fused:
         # no lax.scan: the fused kernel's grid iterates blocks itself,
@@ -275,11 +304,13 @@ def make_fx_multi_step(*, mode: str, nbins: int, window2d: np.ndarray,
         continuum = mode in ("CONTINUUM", "TEST")
 
         @jax.jit
-        def multi_fused(iq: Cplx, delays, history: Cplx):
+        def multi_fused(iq: Cplx, delays, history):
             from fxtpu.ops.pfb_pallas import fx_pallas_raw_multi
-            iq = _dequant(iq, quant_step)
+            if not isinstance(history, dict):
+                iq = _dequant(iq, quant_step)
             xp, new_hist = fx_pallas_raw_multi(iq, w2d, nbins, history,
-                                               pairs_np)
+                                               pairs_np,
+                                               quant_step=quant_step)
             vis = _finish_fused(xp, delays, pairs_np, nbins, s_rows,
                                 bandwidth, frequency, continuum)
             return vis, new_hist
@@ -395,12 +426,14 @@ class FxEngine:
         self.pairs = baseline_pairs(cfg.nchan, cfg.include_autos)
         self._key = (cfg.mode, cfg.nbins, cfg.ntaps, cfg.window, cfg.nchan,
                      cfg.include_autos, cfg.bandwidth, cfg.frequency,
-                     cfg.num_samp, impl, repr(fused), mesh, cfg.quant_step)
+                     cfg.num_samp, impl, repr(fused), mesh, cfg.quant_step,
+                     cfg.ingest_dtype)
         self.step = _cached_step("step", self._key, lambda: make_fx_step(
             mode=cfg.mode, nbins=cfg.nbins, window2d=self.window2d,
             pairs=self.pairs, bandwidth=cfg.bandwidth, frequency=cfg.frequency,
             num_samp=cfg.num_samp, impl=impl, mesh=mesh, fused=fused,
-            quant_step=cfg.quant_step))
+            quant_step=cfg.quant_step,
+            int8_ingest=cfg.ingest_dtype == "int8"))
         self.calibrate = make_calibrator(bandwidth=cfg.bandwidth, impl=impl)
         self._multi_step = None
 
@@ -417,12 +450,32 @@ class FxEngine:
                     bandwidth=self.cfg.bandwidth,
                     frequency=self.cfg.frequency,
                     num_samp=self.cfg.num_samp, fused=self.fused,
-                    quant_step=self.cfg.quant_step))
+                    quant_step=self.cfg.quant_step,
+                    int8_ingest=self.cfg.ingest_dtype == "int8"))
         return self._multi_step
+
+    @property
+    def int8_native(self) -> bool:
+        """True when this engine runs the int8-NATIVE fused kernel: int8
+        ingest + a deep-tap SVD-factorizable window + the fused path —
+        the slab stays int8 end-to-end (DMA bytes / 4, 2-pass conv) and
+        the history contract is the raw tail + previous-block mean (see
+        ops.pfb_pallas.fx_pallas_raw_multi)."""
+        return (_int8_svd_applies(self.window2d, self.cfg.nbins,
+                                  self.cfg.ingest_dtype == "int8")
+                and self.fused_active)
 
     def fresh_history(self):
         shape = (self.cfg.nchan,)
         if self.impl == "planes":
+            if self.int8_native:
+                halo = self.cfg.ntaps - 1
+                return {
+                    "tail": pl_ops.czeros(
+                        (self.cfg.nchan, halo, self.cfg.nbins), jnp.int8),
+                    "mu_prev": pl_ops.czeros((self.cfg.nchan,),
+                                             jnp.float32),
+                }
             return pl_ops.zero_history_planes(shape, self.cfg.nbins,
                                               self.cfg.ntaps)
         return zero_history(shape, self.cfg.nbins, self.cfg.ntaps,
@@ -432,10 +485,12 @@ class FxEngine:
     def fused_active(self) -> bool:
         """True when this engine's step runs the fused Pallas kernel."""
         return (self.impl == "planes" and self.mesh is None
-                and _resolve_fused(self.fused, self.cfg.nbins,
-                                   self.cfg.ntaps,
-                                   self.cfg.num_samp // self.cfg.nbins,
-                                   self.cfg.nchan))
+                and _resolve_fused(
+                    self.fused, self.cfg.nbins, self.cfg.ntaps,
+                    self.cfg.num_samp // self.cfg.nbins, self.cfg.nchan,
+                    int8_svd=_int8_svd_applies(
+                        self.window2d, self.cfg.nbins,
+                        self.cfg.ingest_dtype == "int8")))
 
     def prepare_block(self, block: np.ndarray):
         """Host block [nch, num_samp] complex64 -> device input form.

@@ -63,7 +63,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fxtpu.ops.cfft import _dft_mats, _twiddle
-from fxtpu.ops.cplx import Cplx, cmulconj, conj as cconj
+from fxtpu.ops.cplx import Cplx, cmul, cmulconj, conj as cconj
 
 # Mosaic supports only DEFAULT (1-pass bf16) or HIGHEST (6-pass, ~f32)
 # dot precision in-kernel; numerics need better than bf16.
@@ -322,18 +322,28 @@ _SVD_TOL = 1e-7
 
 
 @functools.lru_cache(maxsize=32)
-def _svd_fir_factors(w_key, nbins: int):
-    """(u [ntaps, r], v [r, nbins]) f64 with u @ v ~= w to _SVD_TOL, or
-    None when the factorization wouldn't beat the direct loop."""
+def _svd_fir_factors(w_key, nbins: int, tol: float = _SVD_TOL):
+    """(u [ntaps, r], v [r, nbins]) f64 with u @ v ~= w to ``tol``, or
+    None when the factorization wouldn't beat the direct loop.
+
+    The default tol sits two decades below the f32 pipeline's 3.1e-5
+    precision floor.  The int8-native path passes 1e-5 (rank 6 instead
+    of 8 at 32 taps — conv cost is linear in rank): its accuracy floor
+    is the 8-bit quantization itself (~1e-3 SNR-dependent), so a 1e-5
+    window perturbation is invisible there."""
     w2d = np.asarray(w_key, np.float64).reshape(-1, nbins)
     ntaps = w2d.shape[0]
     if ntaps < SVD_FIR_MIN_TAPS:
         return None
     uu, ss, vt = np.linalg.svd(w2d, full_matrices=False)
-    r = max(int(np.sum(ss > _SVD_TOL * ss[0])), 1)
+    r = max(int(np.sum(ss > tol * ss[0])), 1)
     if r >= ntaps:
         return None  # full rank: nothing to gain
     return uu[:, :r] * ss[:r], vt[:r]
+
+
+#: SVD tolerance for the int8-native kernel (see _svd_fir_factors).
+_SVD_TOL_INT8 = 1e-5
 
 
 def _stage1_group(n1: int, tile: int) -> int:
@@ -392,7 +402,7 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                *rest,
                tile: int, ntaps: int, n1: int, n2: int,
                n_tiles: int, nch: int, k_blocks: int, pairs,
-               svd_r: int = 0, g1: int = 1):
+               svd_r: int = 0, g1: int = 1, int8_in: bool = False):
     """Grid (K, n_tiles), sequential.  Per program: DMA one slab of PFB
     rows (double-buffered, prefetching the NEXT program's slab), FIR,
     transpose-free 2-stage split-bf16 FFT, and accumulate per block:
@@ -414,6 +424,16 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
     ``svd_r > 0`` switches the FIR from the direct tap loop to the
     rank-``svd_r`` banded-matmul form (see the SVD-FIR block comment
     above): three extra refs (band hi/lo, v) precede the outputs.
+
+    ``int8_in`` (requires svd_r) is the int8-NATIVE mode: the slab and
+    the x/hist refs are int8 (DMA bytes / 4, VMEM / 4), the conv runs
+    2-pass (int8 is bf16-exact, so the data needs no lo split; the
+    dequant step folds into v), and the history contract changes to the
+    RAW previous-block tail: block k's first tile loads block k-1's raw
+    tail rows straight from HBM (stream start loads hist_ref), and the
+    mean correction for those rows happens post-hoc via the mu_prev
+    terms of _dc_correct.  hist_s / hout and the last-tile correction
+    are unused (the caller slices the raw tail from its own input).
 
     Debug-only: FXTPU_FUSED_ABLATE=dma|fir|fft1 (read at trace time)
     truncates the per-tile pipeline after that stage, for localizing
@@ -448,10 +468,14 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                 slab.at[slot, :, 1], sems.at[slot, 1]),
         ]
 
-    def head_copies(kk, slot):
-        # rows [0, tile) of block kk -> slab data region (front comes from
-        # hist_s, filled by the (kk, 0) program itself)
-        return [
+    s_total = n_tiles * tile
+
+    def head_copies(kk, slot, front=True):
+        # rows [0, tile) of block kk -> slab data region.  Slab front:
+        # f32 mode fills it from hist_s in-program; int8 mode DMAs block
+        # kk-1's RAW tail rows straight from HBM (kk >= 1 whenever
+        # front=True — the kk==0 front comes from hist_ref at g==0).
+        cps = [
             pltpu.make_async_copy(
                 xre_ref.at[kk, :, pl.ds(0, tile)],
                 slab.at[slot, :, 0, pl.ds(pad, tile)], sems.at[slot, 0]),
@@ -459,16 +483,32 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                 xim_ref.at[kk, :, pl.ds(0, tile)],
                 slab.at[slot, :, 1, pl.ds(pad, tile)], sems.at[slot, 1]),
         ]
+        if int8_in and front:
+            start = pl.multiple_of(s_total - pad, 8)
+            cps += [
+                pltpu.make_async_copy(
+                    xre_ref.at[kk - 1, :, pl.ds(start, pad)],
+                    slab.at[slot, :, 0, pl.ds(0, pad)], sems.at[slot, 2]),
+                pltpu.make_async_copy(
+                    xim_ref.at[kk - 1, :, pl.ds(start, pad)],
+                    slab.at[slot, :, 1, pl.ds(0, pad)], sems.at[slot, 3]),
+            ]
+        return cps
 
     # ---- DMA: wait for this program's slab; prefetch the next one --------
     @pl.when(g == 0)
     def _():
-        cph = pltpu.make_async_copy(hist_ref, hist_s, sems.at[0, 0])
+        if int8_in:
+            # stream history: raw int8 tail straight into the slab front
+            cph = pltpu.make_async_copy(hist_ref, slab.at[0, :, :, :pad],
+                                        sems.at[0, 2])
+        else:
+            cph = pltpu.make_async_copy(hist_ref, hist_s, sems.at[0, 0])
         cph.start()
         cph.wait()
-        for cp in head_copies(0, 0):
+        for cp in head_copies(0, 0, front=False):
             cp.start()
-        for cp in head_copies(0, 0):
+        for cp in head_copies(0, 0, front=False):
             cp.wait()
 
     if n_tiles > 1:
@@ -497,12 +537,14 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
         for cp in head_copies(nk, nxt):
             cp.start()
 
-    # ---- t == 0: slab front <- carried history --------------------------
-    @pl.when(t == 0)
-    def _():
-        for c in range(nch):
-            slab[buf, c, 0, :pad] = hist_s[c, 0]
-            slab[buf, c, 1, :pad] = hist_s[c, 1]
+    # ---- t == 0: slab front <- carried history (f32 corrected-tail mode;
+    # int8 mode DMA'd the raw front already) -------------------------------
+    if not int8_in:
+        @pl.when(t == 0)
+        def _():
+            for c in range(nch):
+                slab[buf, c, 0, :pad] = hist_s[c, 0]
+                slab[buf, c, 1, :pad] = hist_s[c, 1]
 
     # ---- FIR + FFT per channel (raw — DC handled post-hoc) ----------------
     off = pad - halo
@@ -513,14 +555,17 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
     for c in range(nch):
         plane_re = slab[buf, c, 0]
         plane_im = slab[buf, c, 1]
-        # raw sample sums over THIS tile's own data rows only
-        sr = jnp.sum(plane_re[pad:])
-        si = jnp.sum(plane_im[pad:])
+        # raw sample sums over THIS tile's own data rows only (int8:
+        # cast only the summed rows — the conv reads int8->bf16 directly)
+        sr = jnp.sum(plane_re[pad:].astype(jnp.float32))
+        si = jnp.sum(plane_im[pad:].astype(jnp.float32))
         ssum = ssum + jnp.where(lane == 2 * c, sr, 0.0) \
             + jnp.where(lane == 2 * c + 1, si, 0.0)
         if _abl == "dma":
-            spec.append((plane_re[:tile].reshape(tile, n1, n2),
-                         plane_im[:tile].reshape(tile, n1, n2)))
+            spec.append((plane_re[:tile].astype(jnp.float32
+                                                ).reshape(tile, n1, n2),
+                         plane_im[:tile].astype(jnp.float32
+                                                ).reshape(tile, n1, n2)))
             continue
         if svd_r:
             # banded MXU matmul + r pointwise v-combines (SVD-FIR), in
@@ -532,6 +577,11 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
             win = pad + sub
 
             def conv_chunk(plane, c0):
+                if int8_in:
+                    # int8 samples are bf16-EXACT: no data split, 2 passes
+                    hi = plane[c0:c0 + win].astype(jnp.bfloat16)
+                    return (jnp.dot(bh_ref[:], hi, **kw3)
+                            + jnp.dot(bl_ref[:], hi, **kw3))
                 hi, lo = _split_bf16(plane[c0:c0 + win])
                 return (jnp.dot(bh_ref[:], hi, **kw3)
                         + jnp.dot(bl_ref[:], hi, **kw3)
@@ -639,27 +689,35 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
         sums_s[...] += ssum
 
     # ---- at the block's last tile: emit the sums and save the tail --------
-    # The tail is DC-CORRECTED here with the block's own mean (the full
-    # sample sums are complete by now), preserving the corrected-tail
-    # history invariant the next block's post-hoc algebra assumes.
-    @pl.when(t == n_tiles - 1)
-    def _():
-        sout_ref[0] = sums_s[...]
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        inv_n = 1.0 / (8.0 * n_tiles * tile * (n1 * n2))
-        for c in range(nch):
-            mu_re = jnp.sum(jnp.where(lane2 == 2 * c, sums_s[...], 0.0)
-                            ) * inv_n
-            mu_im = jnp.sum(jnp.where(lane2 == 2 * c + 1, sums_s[...], 0.0)
-                            ) * inv_n
-            hist_s[c, 0, pad - halo:] = (
-                slab[buf, c, 0, pad + tile - halo:] - mu_re)
-            hist_s[c, 1, pad - halo:] = (
-                slab[buf, c, 1, pad + tile - halo:] - mu_im)
+    # f32 mode: the tail is DC-CORRECTED here with the block's own mean
+    # (the full sample sums are complete by now), preserving the
+    # corrected-tail history invariant the next block's post-hoc algebra
+    # assumes.  int8 mode: the raw tail stays in HBM (next block DMAs it;
+    # the caller slices its own input for the carried history) — only the
+    # sums leave the kernel.
+    if int8_in:
+        @pl.when(t == n_tiles - 1)
+        def _():
+            sout_ref[0] = sums_s[...]
+    else:
+        @pl.when(t == n_tiles - 1)
+        def _():
+            sout_ref[0] = sums_s[...]
+            lane2 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            inv_n = 1.0 / (8.0 * n_tiles * tile * (n1 * n2))
+            for c in range(nch):
+                mu_re = jnp.sum(jnp.where(lane2 == 2 * c, sums_s[...], 0.0)
+                                ) * inv_n
+                mu_im = jnp.sum(jnp.where(lane2 == 2 * c + 1,
+                                          sums_s[...], 0.0)) * inv_n
+                hist_s[c, 0, pad - halo:] = (
+                    slab[buf, c, 0, pad + tile - halo:] - mu_re)
+                hist_s[c, 1, pad - halo:] = (
+                    slab[buf, c, 1, pad + tile - halo:] - mu_im)
 
-    @pl.when((k == k_blocks - 1) & (t == n_tiles - 1))
-    def _():
-        hout_ref[...] = hist_s[...]
+        @pl.when((k == k_blocks - 1) & (t == n_tiles - 1))
+        def _():
+            hout_ref[...] = hist_s[...]
 
     # ---- X-stage: accumulate raw cross power over this tile's frames ------
     for ib, (p, q) in enumerate(pairs):
@@ -680,10 +738,12 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nbins", "tile", "pairs_t", "w_key"))
+                   static_argnames=("nbins", "tile", "pairs_t", "w_key",
+                                    "quant_step"))
 def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
-             pairs_t, w_key=None):
+             pairs_t, w_key=None, quant_step: float = 1.0):
     interpret = jax.default_backend() != "tpu"
+    int8_in = x_re.dtype == jnp.int8
     k_blocks, nch, s_rows, _ = x_re.shape
     ntaps = w2d.shape[0]
     halo = ntaps - 1
@@ -715,7 +775,9 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
 
     # Deep-tap FIR: rank factorization -> banded-matmul inputs (see the
     # SVD-FIR block comment).  w_key is the static window fingerprint.
-    fac = _svd_fir_factors(w_key, nbins) if w_key is not None else None
+    tol = _SVD_TOL_INT8 if int8_in else _SVD_TOL
+    fac = (_svd_fir_factors(w_key, nbins, tol)
+           if w_key is not None else None)
     g1 = _stage1_group(n1, tile)
     svd_r = 0
     svd_inputs = []
@@ -724,14 +786,26 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
         svd_r = u.shape[1]
         band = _svd_fir_band(u, pad, ntaps)
         bh, bl = split_np(band)
-        svd_inputs = [bh, bl, jnp.asarray(v.astype(np.float32))]
+        # int8-native: the dequant scale folds into the v-combine, so the
+        # kernel's spectra leave in REAL units with zero extra work
+        v_eff = v * quant_step if int8_in else v
+        svd_inputs = [bh, bl, jnp.asarray(v_eff.astype(np.float32))]
+    if int8_in and not svd_r:
+        raise ValueError("int8-native fused kernel requires the SVD-FIR "
+                         "path (deep-tap windows); shallow-tap int8 goes "
+                         "through the dequant-outside path")
+
+    slab_dtype = jnp.int8 if int8_in else jnp.float32
+    # int8 mode never touches hist_s / hout: dummy-sized to keep the
+    # kernel's positional ref plumbing uniform
+    hist_shape = (1, 1, 8, 128) if int8_in else (nch, 2, pad, nbins)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fx_kernel, tile=tile, ntaps=ntaps,
                           n1=n1, n2=n2, n_tiles=s_rows // tile, nch=nch,
                           k_blocks=k_blocks, pairs=pairs_t, svd_r=svd_r,
-                          g1=g1),
+                          g1=g1, int8_in=int8_in),
         grid=(k_blocks, s_rows // tile),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),    # x re (manual DMA)
@@ -752,8 +826,8 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
                          memory_space=pltpu.VMEM),   # first-frame spectra U
             pl.BlockSpec((1, 8, 128), lambda k, t: (k, 0, 0),
                          memory_space=pltpu.VMEM),   # raw sample sums
-            pl.BlockSpec((nch, 2, pad, nbins), lambda k, t: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),   # final RAW tail
+            pl.BlockSpec(hist_shape, lambda k, t: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),   # final tail (f32 mode)
         ),
         out_shape=(
             jax.ShapeDtypeStruct((k_blocks, nbl, 2, n1, n2), jnp.float32),
@@ -761,14 +835,14 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
             jax.ShapeDtypeStruct((k_blocks, nch, 2, halo * n1, n2),
                                  jnp.float32),
             jax.ShapeDtypeStruct((k_blocks, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nch, 2, pad, nbins), jnp.float32),
+            jax.ShapeDtypeStruct(hist_shape, jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, nch, 2, tile + _halo_pad(ntaps), nbins),
-                       jnp.float32),
-            pltpu.VMEM((nch, 2, pad, nbins), jnp.float32),
+                       slab_dtype),
+            pltpu.VMEM(hist_shape, jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
         # deep-tap/wideband shapes need a bigger slab than the 16 MB
         # default scoped-VMEM budget (v5e has 128 MB of VMEM)
@@ -796,9 +870,17 @@ def _dc_constants(w_key, nbins: int, s_rows: int):
     A[f] = FFT(W_hi[f]) and W_hi[f][b] = sum of window taps whose input
     row lies in the CURRENT block — the full column sum W-bar for interior
     frames (f >= ntaps-1), partial for the first ntaps-1 frames (their
-    remaining taps read the already-corrected carried history).  Returns
+    remaining taps read the carried history).  Returns
     (Abar [nbins] c64-as-planes, dA [halo, nbins] = A_j - Abar,
-     Cs [nbins] real = sum_f |A[f]|^2), natural bin order, f32 planes.
+     Cs [nbins] real = sum_f |A[f]|^2,
+     Cab [nbins] complex = sum_j A_j (Abar - A_j)*,
+     Cbb [nbins] real = sum_j |Abar - A_j|^2), natural bin order, f32.
+
+    Cs serves the corrected-tail history contract (history rows already
+    mean-free, only the mu*A_j terms remain).  Cab/Cbb additionally serve
+    the RAW-tail contract (int8-native kernel): there the first-halo
+    frames also carry a mu_prev*(Abar - A_j) perturbation from the
+    previous block's uncorrected rows (see _dc_correct ``mu_prev``).
     """
     w2d = np.asarray(w_key, np.float64).reshape(-1, nbins)
     ntaps = w2d.shape[0]
@@ -809,40 +891,78 @@ def _dc_constants(w_key, nbins: int, s_rows: int):
                     for j in range(halo)])      # [halo, nbins]
     cs = (s_rows - halo) * np.abs(abar) ** 2 + (np.abs(a_j) ** 2).sum(0)
     da = a_j - abar
+    b_j = abar - a_j                            # raw-history weights
+    cab = (a_j * np.conj(b_j)).sum(0)
+    cbb = (np.abs(b_j) ** 2).sum(0)
     # return HOST numpy (the lru_cache must never hold traced values)
     f32 = lambda a: np.ascontiguousarray(a.astype(np.float32))
     return (Cplx(f32(abar.real), f32(abar.imag)),
             Cplx(f32(da.real), f32(da.imag)),
-            f32(cs))
+            f32(cs),
+            Cplx(f32(cab.real), f32(cab.imag)),
+            f32(cbb))
 
 
 def _dc_correct(xp: Cplx, T: Cplx, U: Cplx, mu: Cplx, pairs_np,
-                consts, s_rows: int) -> Cplx:
+                consts, s_rows: int, mu_prev: Cplx = None) -> Cplx:
     """Apply the DC-spike correction to the raw frame-summed cross power.
 
-    With s'_c[f] = s_c[f] - mu_c A[f]:
+    Corrected-tail history contract (``mu_prev=None``), with
+    s'_c[f] = s_c[f] - mu_c A[f]:
       sum_f s'_p s'_q* = xp - mu_q* G_p - mu_p conj(G_q) + mu_p mu_q* Cs,
       G_c = Abar* T_c + sum_j U_c[j] (A_j - Abar)*.
+
+    RAW-tail contract (int8-native kernel; ``mu_prev`` = each block's
+    PREVIOUS block mean): the first-halo frames additionally carry the
+    previous block's uncorrected rows, s'_c[f] = s_c[f] - mu_c A[f]
+    - mu_prev_c B[f] with B_j = Abar - A_j (0 interior):
+      ... - mu_prev_q* H_p - mu_prev_p conj(H_q)
+      + mu_p mu_prev_q* Cab + mu_prev_p mu_q* conj(Cab)
+      + mu_prev_p mu_prev_q* Cbb,
+      H_c = sum_j U_c[j] B_j* = Abar* T_c - G_c.
+
     All arrays are tiny ([K, ..., nbins], natural order)."""
-    abar, da, cs = consts
+    abar, da, cs, cab, cbb = consts
     # G_c = conj(Abar) * T_c + sum_j U_c[j] * conj(dA[j])   [K, nch, nbins]
-    g = cmulconj(T, Cplx(abar.re[None, None], abar.im[None, None]))
+    ta = cmulconj(T, Cplx(abar.re[None, None], abar.im[None, None]))
     gj = cmulconj(U, Cplx(da.re[None, None], da.im[None, None]))
-    g = Cplx(g.re + gj.re.sum(axis=2), g.im + gj.im.sum(axis=2))
+    g = Cplx(ta.re + gj.re.sum(axis=2), ta.im + gj.im.sum(axis=2))
     p_idx = pairs_np[:, 0]
     q_idx = pairs_np[:, 1]
-    mu_p = Cplx(mu.re[:, p_idx, None], mu.im[:, p_idx, None])
-    mu_q = Cplx(mu.re[:, q_idx, None], mu.im[:, q_idx, None])
-    g_p = Cplx(g.re[:, p_idx], g.im[:, p_idx])
-    g_q = Cplx(g.re[:, q_idx], g.im[:, q_idx])
+
+    def sel(x, idx):
+        return Cplx(x.re[:, idx], x.im[:, idx])
+
+    def selc(x, idx):
+        return Cplx(x.re[:, idx, None], x.im[:, idx, None])
+
+    mu_p, mu_q = selc(mu, p_idx), selc(mu, q_idx)
+    g_p, g_q = sel(g, p_idx), sel(g, q_idx)
     t2 = cmulconj(g_p, mu_q)               # mu_q* G_p
     t3 = cconj(cmulconj(g_q, mu_p))        # mu_p conj(G_q)
     t4 = cmulconj(mu_p, mu_q)              # mu_p mu_q*
-    return Cplx(xp.re - t2.re - t3.re + t4.re * cs[None, None],
-                xp.im - t2.im - t3.im + t4.im * cs[None, None])
+    out = Cplx(xp.re - t2.re - t3.re + t4.re * cs[None, None],
+               xp.im - t2.im - t3.im + t4.im * cs[None, None])
+    if mu_prev is None:
+        return out
+    # raw-tail extension: H_c = Abar* T_c - G_c (free from existing parts)
+    h = Cplx(ta.re - g.re, ta.im - g.im)
+    h_p, h_q = sel(h, p_idx), sel(h, q_idx)
+    mpv_p, mpv_q = selc(mu_prev, p_idx), selc(mu_prev, q_idx)
+    u2 = cmulconj(h_p, mpv_q)              # mu_prev_q* H_p
+    u3 = cconj(cmulconj(h_q, mpv_p))       # mu_prev_p conj(H_q)
+    cabx = Cplx(cab.re[None, None], cab.im[None, None])
+    q4a = cmul(cmulconj(mu_p, mpv_q), cabx)            # mu_p mu_prev_q* Cab
+    q4b = cmul(cmulconj(mpv_p, mu_q), cconj(cabx))     # mu_prev_p mu_q* Cab*
+    q4c = cmulconj(mpv_p, mpv_q)                       # mu_prev_p mu_prev_q*
+    return Cplx(out.re - u2.re - u3.re + q4a.re + q4b.re
+                + q4c.re * cbb[None, None],
+                out.im - u2.im - u3.im + q4a.im + q4b.im
+                + q4c.im * cbb[None, None])
 
 
-def fx_pallas_parts(x: Cplx, w2d, nbins: int, history: Cplx, pairs):
+def fx_pallas_parts(x: Cplx, w2d, nbins: int, history: Cplx, pairs,
+                    quant_step: float = 1.0):
     """Run the fused kernel and return its RAW accumulators in natural bin
     order (pre-DC-correction) — the building block shared by the
     single-device wrapper and the sharded path (which must psum the parts
@@ -851,9 +971,17 @@ def fx_pallas_parts(x: Cplx, w2d, nbins: int, history: Cplx, pairs):
       (xp_raw [K, nbl, nbins], T [K, nch, nbins], U [K, nch, halo, nbins],
        mu [K, nch] complex means, tail [nch, ntaps-1, nbins] — already
        DC-corrected with the last block's own mean in-kernel)
+
+    int8-NATIVE mode (x planes int8, requires the SVD-FIR window):
+    ``history`` is the previous block's RAW int8 tail, the kernel runs on
+    the int8 slab (bytes / 4, 2-pass conv), T/U/xp leave in real units
+    (dequant folded into v), mu leaves in QUANT units (scale by
+    quant_step), and ``tail`` returns None — the caller slices the raw
+    tail from its own input and must correct with _dc_correct(mu_prev=).
     """
     ntaps = int(w2d.shape[0])
     halo = ntaps - 1
+    int8_in = x.re.dtype == jnp.int8
     if x.re.ndim == 4:
         k_blocks, nch, s_rows, _ = x.re.shape
         rows_re, rows_im = x.re, x.im
@@ -872,13 +1000,18 @@ def fx_pallas_parts(x: Cplx, w2d, nbins: int, history: Cplx, pairs):
             f"fused kernel supports at most {MAX_FUSED_NCHAN} channels "
             f"(2 lanes per channel in the sample-sum accumulator), got {nch}")
     pad = _halo_pad(ntaps)
-    hist = jnp.stack([history.re, history.im], axis=1).astype(jnp.float32)
+    hist_dtype = jnp.int8 if int8_in else jnp.float32
+    hist = jnp.stack([history.re, history.im], axis=1).astype(hist_dtype)
     hist = jnp.pad(hist, ((0, 0), (0, 0), (pad - halo, 0), (0, 0)))
     pairs_t = tuple((int(p), int(q)) for p, q in np.asarray(pairs))
     w_key = tuple(np.asarray(w2d, np.float64).ravel())
+    if not int8_in:
+        rows_re = rows_re.astype(jnp.float32)
+        rows_im = rows_im.astype(jnp.float32)
     out, tsum, ufr, ssum, hist_out = _fx_call(
-        rows_re.astype(jnp.float32), rows_im.astype(jnp.float32), hist,
-        jnp.asarray(w2d, jnp.float32), nbins, tile, pairs_t, w_key=w_key)
+        rows_re, rows_im, hist,
+        jnp.asarray(w2d, jnp.float32), nbins, tile, pairs_t, w_key=w_key,
+        quant_step=quant_step if int8_in else 1.0)
     inv = jnp.asarray(_fx_perm(nbins))
     nbl = out.shape[1]
 
@@ -901,11 +1034,13 @@ def fx_pallas_parts(x: Cplx, w2d, nbins: int, history: Cplx, pairs):
     lanes = ssum[:, 0]  # [K, 128]: lane 2c/2c+1 = re/im sum for channel c
     mu = Cplx(lanes[:, 0:2 * nch:2] * scale,
               lanes[:, 1:2 * nch + 1:2] * scale)   # [K, nch]
-    tail = Cplx(hist_out[:, 0, pad - halo:], hist_out[:, 1, pad - halo:])
+    tail = (None if int8_in else
+            Cplx(hist_out[:, 0, pad - halo:], hist_out[:, 1, pad - halo:]))
     return xp, T, U, mu, tail, s_rows
 
 
-def fx_pallas_raw_multi(x: Cplx, w2d, nbins: int, history: Cplx, pairs):
+def fx_pallas_raw_multi(x: Cplx, w2d, nbins: int, history, pairs,
+                        quant_step: float = 1.0):
     """Fused DC + PFB + FFT + X for a STACK of blocks in one kernel launch:
     ``x [K, nch, nsamp]`` (or pre-framed ``[K, nch, S, nbins]`` — STRONGLY
     preferred for device inputs; a device reframe is a tiled-layout HBM
@@ -918,22 +1053,53 @@ def fx_pallas_raw_multi(x: Cplx, w2d, nbins: int, history: Cplx, pairs):
     rotation / frame-mean normalization / fftshift: the caller applies
     ``rot_p conj(rot_q) / n_frames`` per block and the shift on these tiny
     arrays (rotation commutes with the frame sum; see module notes).
-    History contract identical to the planes path: in/out is the
-    DC-corrected previous-block tail."""
+
+    History contract: f32 mode in/out is the DC-corrected previous-block
+    tail (Cplx).  int8-NATIVE mode (x planes int8 + deep-tap SVD window):
+    history is a dict ``{"tail": Cplx int8 raw tail [nch, halo, nbins],
+    "mu_prev": Cplx [nch] previous-block means (real units)}`` — the
+    kernel consumes the raw tail directly and the previous-block mean
+    correction runs post-hoc (the mu_prev terms of _dc_correct)."""
     pairs_np = np.asarray(pairs)
-    xp, T, U, mu, tail, s_rows = fx_pallas_parts(x, w2d, nbins, history,
-                                                 pairs)
+    int8_native = (isinstance(history, dict)
+                   or (x.re.dtype == jnp.int8))
     consts = _dc_constants(tuple(np.asarray(w2d, np.float64).ravel()),
-                           nbins, s_rows)
-    xp = _dc_correct(xp, T, U, mu, pairs_np, consts, s_rows)
-    return xp, tail  # tail already DC-corrected in-kernel
+                           nbins, x.re.shape[-2] if x.re.ndim == 4
+                           else x.re.shape[-1] // nbins)
+    if not int8_native:
+        xp, T, U, mu, tail, s_rows = fx_pallas_parts(x, w2d, nbins,
+                                                     history, pairs)
+        xp = _dc_correct(xp, T, U, mu, pairs_np, consts, s_rows)
+        return xp, tail  # tail already DC-corrected in-kernel
+
+    xp, T, U, mu_q, _, s_rows = fx_pallas_parts(
+        x, w2d, nbins, history["tail"], pairs, quant_step=quant_step)
+    # kernel sums are in quant units; spectra left in real units via v
+    mu = Cplx(mu_q.re * quant_step, mu_q.im * quant_step)   # [K, nch]
+    # each block's raw front rows came from the PREVIOUS block: its mean
+    mu_prev = Cplx(
+        jnp.concatenate([history["mu_prev"].re[None], mu.re[:-1]]),
+        jnp.concatenate([history["mu_prev"].im[None], mu.im[:-1]]))
+    xp = _dc_correct(xp, T, U, mu, pairs_np, consts, s_rows,
+                     mu_prev=mu_prev)
+    halo = int(w2d.shape[0]) - 1
+    rows = x if x.re.ndim == 4 else Cplx(
+        x.re[..., : s_rows * nbins].reshape(*x.re.shape[:2], s_rows, nbins),
+        x.im[..., : s_rows * nbins].reshape(*x.im.shape[:2], s_rows, nbins))
+    new_hist = {
+        "tail": Cplx(rows.re[-1, :, -halo:], rows.im[-1, :, -halo:]),
+        "mu_prev": Cplx(mu.re[-1], mu.im[-1]),
+    }
+    return xp, new_hist
 
 
-def fx_pallas_raw(x: Cplx, w2d, nbins: int, history: Cplx, pairs):
+def fx_pallas_raw(x: Cplx, w2d, nbins: int, history, pairs,
+                  quant_step: float = 1.0):
     """Single-block wrapper over :func:`fx_pallas_raw_multi` (2-D
     ``[nch, nsamp]`` or pre-framed 3-D ``[nch, S, nbins]`` planes)."""
     xk = Cplx(x.re[None], x.im[None])
-    xp, new_hist = fx_pallas_raw_multi(xk, w2d, nbins, history, pairs)
+    xp, new_hist = fx_pallas_raw_multi(xk, w2d, nbins, history, pairs,
+                                       quant_step=quant_step)
     return Cplx(xp.re[0], xp.im[0]), new_hist
 
 

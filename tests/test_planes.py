@@ -481,3 +481,89 @@ class TestSvdFir:
         scale = np.abs(to_complex(vu)).max()
         np.testing.assert_allclose(to_complex(vf), to_complex(vu),
                                    atol=3e-5 * scale)
+
+
+class TestInt8NativeFused:
+    """int8-NATIVE fused kernel (deep taps): int8 slab + raw-tail history
+    + post-hoc mu_prev correction must equal the dequantized-f32 unfused
+    streaming path exactly (the algebra is linear — see
+    ops.pfb_pallas.fx_pallas_raw_multi)."""
+
+    STEP = 1.0 / 32
+    NS, NBINS, NTAPS = 2**13, 256, 32
+
+    def _engines(self):
+        cfg_q = CorrelatorConfig(
+            mode="SPECTRUM", num_samp=self.NS, nbins=self.NBINS,
+            ntaps=self.NTAPS, clamp_num_samp=False, ingest_dtype="int8",
+            quant_step=self.STEP, fused=True)
+        cfg_f = CorrelatorConfig(
+            mode="SPECTRUM", num_samp=self.NS, nbins=self.NBINS,
+            ntaps=self.NTAPS, clamp_num_samp=False)
+        return FxEngine(cfg_q, fused=True), FxEngine(cfg_f, fused=False)
+
+    def _blocks(self, n=3, seed=5):
+        from fxtpu.sources.base import QuantizedSource
+        from fxtpu.sources.synthetic import NoiseSource
+        src = QuantizedSource(NoiseSource(nchan=2, seed=seed),
+                              quant_step=self.STEP)
+        blocks = [src.read_block(self.NS) for _ in range(n)]
+        deq = [((b[..., 0].astype(np.float32)
+                 + 1j * b[..., 1].astype(np.float32)) * self.STEP
+                ).astype(np.complex64) for b in blocks]
+        return blocks, deq
+
+    def test_streaming_chain_matches_dequantized_unfused(self):
+        eng_q, eng_f = self._engines()
+        assert eng_q.int8_native
+        blocks, deq = self._blocks()
+        d = jnp.asarray([0.0, 3e-7], jnp.float32)
+        hq, hf = eng_q.fresh_history(), eng_f.fresh_history()
+        assert isinstance(hq, dict) and hq["tail"].re.dtype == jnp.int8
+        for b, bf in zip(blocks, deq):
+            vq, hq = eng_q.step(eng_q.prepare_block(b), d, hq)
+            vf, hf = eng_f.step(eng_f.prepare_block(bf), d, hf)
+        cq, cf = to_complex(vq), to_complex(vf)
+        scale = np.abs(cf).max()
+        np.testing.assert_allclose(cq / scale, cf / scale, atol=3e-5)
+
+    def test_multi_step_matches_sequential(self):
+        eng_q, _ = self._engines()
+        blocks, _ = self._blocks()
+        import jax
+        iq = eng_q.prepare_block(np.stack(blocks))
+        dk = jnp.zeros((3, 2), jnp.float32)
+        vm, hm = eng_q.multi_step(iq, dk, eng_q.fresh_history())
+        hs = eng_q.fresh_history()
+        d1 = jnp.zeros((2,), jnp.float32)
+        for i, b in enumerate(blocks):
+            v, hs = eng_q.step(eng_q.prepare_block(b), d1, hs)
+            got = to_complex(jax.tree.map(lambda a: a[i], vm))
+            want = to_complex(v)
+            scale = np.abs(want).max()
+            np.testing.assert_allclose(got / scale, want / scale,
+                                       atol=1e-5)
+        # raw-tail history round trip is bit-exact (int8)
+        np.testing.assert_array_equal(np.asarray(hm["tail"].re),
+                                      np.asarray(hs["tail"].re))
+        np.testing.assert_allclose(np.asarray(hm["mu_prev"].re),
+                                   np.asarray(hs["mu_prev"].re), atol=1e-7)
+
+    def test_snapshot_roundtrip_dict_history(self, tmp_path):
+        from fxtpu.runtime import checkpoint
+        eng_q, _ = self._engines()
+        blocks, _ = self._blocks(n=1)
+        d = jnp.zeros((2,), jnp.float32)
+        _, hist = eng_q.step(eng_q.prepare_block(blocks[0]), d,
+                             eng_q.fresh_history())
+        p = str(tmp_path / "state.npz")
+        checkpoint.save_state(p, history=hist, delays=np.zeros(2),
+                              blocks_processed=1)
+        state = checkpoint.load_state(p)
+        got = state["history"]
+        assert got["tail"].re.dtype == np.int8
+        np.testing.assert_array_equal(np.asarray(got["tail"].re),
+                                      np.asarray(hist["tail"].re))
+        np.testing.assert_allclose(np.asarray(got["mu_prev"].re),
+                                   np.asarray(hist["mu_prev"].re),
+                                   atol=1e-7)
