@@ -457,13 +457,13 @@ class FxEngine:
     @property
     def int8_native(self) -> bool:
         """True when this engine runs the int8-NATIVE fused kernel: int8
-        ingest + a deep-tap SVD-factorizable window + the fused path —
-        the slab stays int8 end-to-end (DMA bytes / 4, 2-pass conv) and
-        the history contract is the raw tail + previous-block mean (see
-        ops.pfb_pallas.fx_pallas_raw_multi)."""
-        return (_int8_svd_applies(self.window2d, self.cfg.nbins,
-                                  self.cfg.ingest_dtype == "int8")
-                and self.fused_active)
+        ingest + the fused path — the slab stays int8 end-to-end (DMA
+        bytes / 4; deep-tap windows additionally get the 2-pass SVD conv,
+        shallow taps the scale-folded direct loop) and the history
+        contract is the raw tail + previous-block mean (see
+        ops.pfb_pallas.fx_pallas_raw_multi).  No dequant pass ever
+        materializes f32 planes in HBM."""
+        return self.cfg.ingest_dtype == "int8" and self.fused_active
 
     def fresh_history(self):
         shape = (self.cfg.nchan,)

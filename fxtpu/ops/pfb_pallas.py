@@ -601,6 +601,12 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
             fir_re = fir_chunks(plane_re)
             fir_im = fir_chunks(plane_im)
         else:
+            # direct tap loop.  int8 mode: one f32 cast of the slab
+            # window (exact; dequant scale pre-folded into w_ref), then
+            # the identical loop.
+            if int8_in:
+                plane_re = plane_re.astype(jnp.float32)
+                plane_im = plane_im.astype(jnp.float32)
             fir_re = w_ref[0] * plane_re[off:off + tile]
             fir_im = w_ref[0] * plane_im[off:off + tile]
             for tap in range(1, ntaps):
@@ -790,10 +796,8 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
         # kernel's spectra leave in REAL units with zero extra work
         v_eff = v * quant_step if int8_in else v
         svd_inputs = [bh, bl, jnp.asarray(v_eff.astype(np.float32))]
-    if int8_in and not svd_r:
-        raise ValueError("int8-native fused kernel requires the SVD-FIR "
-                         "path (deep-tap windows); shallow-tap int8 goes "
-                         "through the dequant-outside path")
+    # int8 + direct tap loop: the dequant scale folds into the window
+    w_in = w2d * quant_step if (int8_in and not svd_r) else w2d
 
     slab_dtype = jnp.int8 if int8_in else jnp.float32
     # int8 mode never touches hist_s / hout: dummy-sized to keep the
@@ -849,7 +853,7 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x_re, x_im, hist_stacked, w2d, m1h, m1l,
+    )(x_re, x_im, hist_stacked, w_in, m1h, m1l,
       jnp.asarray(np.ascontiguousarray(twc)),
       jnp.asarray(np.ascontiguousarray(tws)), m2h, m2l, *svd_inputs)
 

@@ -567,3 +567,10 @@ class TestInt8NativeFused:
         np.testing.assert_allclose(np.asarray(got["mu_prev"].re),
                                    np.asarray(hist["mu_prev"].re),
                                    atol=1e-7)
+
+
+class TestInt8NativeDirect(TestInt8NativeFused):
+    """int8-native with the DIRECT tap loop (shallow taps): same raw-tail
+    contract, dequant scale folded into the window."""
+
+    NS, NBINS, NTAPS = 2**13, 256, 4
