@@ -342,3 +342,25 @@ def test_cli_mesh_run(tmp_path):
                 "-L", "ERROR"])
     _, data = load_products(out)
     assert data.shape[-1] == 1024
+
+
+def test_int8_native_fused_end_to_end(tmp_path):
+    """Full Correlator run on the int8-NATIVE fused kernel (interpret
+    mode on CPU): dict-form raw-tail history flows through the state
+    machine, the stager, and snapshots; calibration still recovers the
+    injected delay."""
+    cor = run_correlator(tmp_path, mode="SPECTRUM", synthetic_delay=2e-6,
+                         ingest_dtype="int8", fused=True,
+                         blocks_per_dispatch=2, snapshot_every=2)
+    assert cor.engine.int8_native
+    assert isinstance(cor.history, dict)
+    err_samples = abs(cor.calibrated_delays[1] - 2e-6) * 2.4e6
+    assert err_samples < 0.5
+    _, data = load_products(cor.output_file)
+    assert data.shape[0] == cor.blocks_processed >= 1
+    ph = np.angle(data.mean(axis=0))
+    inner = slice(2**10 // 4, 3 * 2**10 // 4)
+    assert np.std(np.unwrap(ph[inner])) < 0.35
+    # the periodic snapshot captured the dict history
+    import os
+    assert os.path.exists(cor.snapshot_path)
