@@ -404,7 +404,8 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                *rest,
                tile: int, ntaps: int, n1: int, n2: int,
                n_tiles: int, nch: int, k_blocks: int, pairs,
-               svd_r: int = 0, g1: int = 1, int8_in: bool = False):
+               svd_r: int = 0, g1: int = 1, int8_in: bool = False,
+               nbuf: int = 2, split_dma: bool = False):
     """Grid (K, n_tiles), sequential.  Per program: DMA one slab of PFB
     rows (double-buffered, prefetching the NEXT program's slab), FIR,
     transpose-free 2-stage split-bf16 FFT, and accumulate per block:
@@ -454,13 +455,24 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
     total = k_blocks * n_tiles
     halo = ntaps - 1
     pad = _halo_pad(ntaps)
-    buf = jax.lax.rem(g, 2)
+    buf = jax.lax.rem(g, nbuf)
 
     def full_copies(kk, tt, slot):
         # rows [tt*tile - pad, tt*tile + tile) of block kk -> whole slab
         # (the two planes arrive as separate arrays: no host-side stack,
-        # which would cost a full HBM round trip of the input)
+        # which would cost a full HBM round trip of the input).
+        # split_dma issues one DMA per (channel, plane) instead of per
+        # plane: more descriptors in flight for shapes where a single
+        # stream can't reach HBM bandwidth.
         start = pl.multiple_of(tt * tile - pad, 8)
+        if split_dma:
+            return [
+                pltpu.make_async_copy(
+                    (xre_ref if p == 0 else xim_ref
+                     ).at[kk, c, pl.ds(start, pad + tile)],
+                    slab.at[slot, c, p], sems.at[slot, 2 * c + p])
+                for c in range(nch) for p in range(2)
+            ]
         return [
             pltpu.make_async_copy(
                 xre_ref.at[kk, :, pl.ds(start, pad + tile)],
@@ -477,23 +489,36 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
         # f32 mode fills it from hist_s in-program; int8 mode DMAs block
         # kk-1's RAW tail rows straight from HBM (kk >= 1 whenever
         # front=True — the kk==0 front comes from hist_ref at g==0).
-        cps = [
-            pltpu.make_async_copy(
-                xre_ref.at[kk, :, pl.ds(0, tile)],
-                slab.at[slot, :, 0, pl.ds(pad, tile)], sems.at[slot, 0]),
-            pltpu.make_async_copy(
-                xim_ref.at[kk, :, pl.ds(0, tile)],
-                slab.at[slot, :, 1, pl.ds(pad, tile)], sems.at[slot, 1]),
-        ]
+        if split_dma:
+            cps = [
+                pltpu.make_async_copy(
+                    (xre_ref if p == 0 else xim_ref
+                     ).at[kk, c, pl.ds(0, tile)],
+                    slab.at[slot, c, p, pl.ds(pad, tile)],
+                    sems.at[slot, 2 * c + p])
+                for c in range(nch) for p in range(2)
+            ]
+        else:
+            cps = [
+                pltpu.make_async_copy(
+                    xre_ref.at[kk, :, pl.ds(0, tile)],
+                    slab.at[slot, :, 0, pl.ds(pad, tile)], sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    xim_ref.at[kk, :, pl.ds(0, tile)],
+                    slab.at[slot, :, 1, pl.ds(pad, tile)], sems.at[slot, 1]),
+            ]
         if int8_in and front:
             start = pl.multiple_of(s_total - pad, 8)
+            fs = 2 * nch if split_dma else 2
             cps += [
                 pltpu.make_async_copy(
                     xre_ref.at[kk - 1, :, pl.ds(start, pad)],
-                    slab.at[slot, :, 0, pl.ds(0, pad)], sems.at[slot, 2]),
+                    slab.at[slot, :, 0, pl.ds(0, pad)],
+                    sems.at[slot, fs]),
                 pltpu.make_async_copy(
                     xim_ref.at[kk - 1, :, pl.ds(start, pad)],
-                    slab.at[slot, :, 1, pl.ds(0, pad)], sems.at[slot, 3]),
+                    slab.at[slot, :, 1, pl.ds(0, pad)],
+                    sems.at[slot, fs + 1]),
             ]
         return cps
 
@@ -503,13 +528,24 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
         if int8_in:
             # stream history: raw int8 tail straight into the slab front
             cph = pltpu.make_async_copy(hist_ref, slab.at[0, :, :, :pad],
-                                        sems.at[0, 2])
+                                        sems.at[0, 2 * nch if split_dma
+                                                else 2])
         else:
             cph = pltpu.make_async_copy(hist_ref, hist_s, sems.at[0, 0])
         cph.start()
         cph.wait()
         for cp in head_copies(0, 0, front=False):
             cp.start()
+        # warm the pipeline: with nbuf slabs, tiles 1..nbuf-2 start now
+        # so that nbuf-1 transfers are always in flight (one DMA stream
+        # can't reach HBM bandwidth at every shape; concurrency can)
+        for d in range(1, nbuf - 1):
+            if d >= total:
+                break
+            kd, td = d // n_tiles, d % n_tiles
+            for cp in (head_copies(kd, d % nbuf) if td == 0
+                       else full_copies(kd, td, d % nbuf)):
+                cp.start()
         for cp in head_copies(0, 0, front=False):
             cp.wait()
 
@@ -524,17 +560,18 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
         for cp in head_copies(k, buf):
             cp.wait()
 
-    nxt = jax.lax.rem(g + 1, 2)
-    nk = k + (t + 1) // n_tiles
-    nt = jax.lax.rem(t + 1, n_tiles)
+    la = nbuf - 1                       # lookahead distance
+    nxt = jax.lax.rem(g + la, nbuf)
+    nk = k + (t + la) // n_tiles
+    nt = jax.lax.rem(t + la, n_tiles)
 
     if n_tiles > 1:
-        @pl.when((g + 1 < total) & (nt != 0))
+        @pl.when((g + la < total) & (nt != 0))
         def _():
             for cp in full_copies(nk, nt, nxt):
                 cp.start()
 
-    @pl.when((g + 1 < total) & (nt == 0))
+    @pl.when((g + la < total) & (nt == 0))
     def _():
         for cp in head_copies(nk, nxt):
             cp.start()
@@ -745,6 +782,12 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
             out_ref[0, ib, 1] += acc_im
 
 
+def _default_nbuf(nbins: int, int8_in: bool) -> int:
+    """DMA slab-ring depth.  2 = classic double buffering (one transfer
+    in flight)."""
+    return 2
+
+
 @functools.partial(jax.jit,
                    static_argnames=("nbins", "tile", "pairs_t", "w_key",
                                     "quant_step"))
@@ -806,12 +849,21 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
     # kernel's positional ref plumbing uniform
     hist_shape = (1, 1, 8, 128) if int8_in else (nch, 2, pad, nbins)
 
+    # DMA pipeline depth (slab ring size; nbuf-1 transfers in flight) and
+    # per-(channel, plane) descriptor split.  Read at trace time; defaults
+    # measured on v5e (see _default_nbuf).
+    import os as _os
+    nbuf = int(_os.environ.get("FXTPU_FUSED_NBUF", "0")) \
+        or _default_nbuf(nbins, int8_in)
+    split_dma = _os.environ.get("FXTPU_FUSED_SPLITDMA", "") == "1"
+
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fx_kernel, tile=tile, ntaps=ntaps,
                           n1=n1, n2=n2, n_tiles=s_rows // tile, nch=nch,
                           k_blocks=k_blocks, pairs=pairs_t, svd_r=svd_r,
-                          g1=g1, int8_in=int8_in),
+                          g1=g1, int8_in=int8_in, nbuf=nbuf,
+                          split_dma=split_dma),
         grid=(k_blocks, s_rows // tile),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),    # x re (manual DMA)
@@ -844,11 +896,11 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
             jax.ShapeDtypeStruct(hist_shape, jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, nch, 2, tile + _halo_pad(ntaps), nbins),
+            pltpu.VMEM((nbuf, nch, 2, tile + _halo_pad(ntaps), nbins),
                        slab_dtype),
             pltpu.VMEM(hist_shape, jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((nbuf, 2 * nch + 2)),
         ],
         # deep-tap/wideband shapes need a bigger slab than the 16 MB
         # default scoped-VMEM budget (v5e has 128 MB of VMEM)

@@ -574,3 +574,46 @@ class TestInt8NativeDirect(TestInt8NativeFused):
     contract, dequant scale folded into the window."""
 
     NS, NBINS, NTAPS = 2**13, 256, 4
+
+
+@pytest.mark.parametrize("nbuf,split", [(3, "0"), (4, "1")])
+def test_fused_deep_dma_pipeline_matches_unfused(monkeypatch, nbuf, split):
+    """FXTPU_FUSED_NBUF > 2 (slab ring with nbuf-1 DMAs in flight) and
+    FXTPU_FUSED_SPLITDMA (per-(channel, plane) descriptors) change ONLY
+    the DMA schedule, never the numbers — streamed multi-block parity
+    against the unfused path at both settings."""
+    from jax import tree
+
+    from fxtpu.fx import _STEP_CACHE
+    from fxtpu.ops import pfb_pallas
+
+    monkeypatch.setenv("FXTPU_FUSED_NBUF", str(nbuf))
+    monkeypatch.setenv("FXTPU_FUSED_SPLITDMA", split)
+    # the env knobs are read at _fx_call trace time: drop every cached
+    # trace (step closures AND the inner jitted call) so they re-read
+    _STEP_CACHE.clear()
+    pfb_pallas._fx_call.clear_cache()
+    try:
+        cfg = CorrelatorConfig(mode="SPECTRUM", num_samp=2**13, nbins=256,
+                               clamp_num_samp=False)
+        rng = np.random.default_rng(7)
+        k = 3
+        blocks = [(rng.normal(size=(2, cfg.num_samp))
+                   + 1j * rng.normal(size=(2, cfg.num_samp))
+                   ).astype(np.complex64) for _ in range(k)]
+        delays = jnp.zeros((k, 2), jnp.float32)
+        eng_u = FxEngine(cfg, fused=False)
+        eng_f = FxEngine(cfg, fused=True)
+        iq_u = tree.map(lambda *xs: jnp.stack(xs),
+                        *[eng_u.prepare_block(b) for b in blocks])
+        vu, hu = eng_u.multi_step(iq_u, delays, eng_u.fresh_history())
+        vf, hf = eng_f.multi_step(eng_f.prepare_block(np.stack(blocks)),
+                                  delays, eng_f.fresh_history())
+        scale = np.abs(to_complex(vu)).max()
+        np.testing.assert_allclose(to_complex(vf), to_complex(vu),
+                                   atol=2e-5 * scale)
+        np.testing.assert_allclose(to_complex(hf), to_complex(hu),
+                                   atol=1e-6)
+    finally:
+        _STEP_CACHE.clear()
+        pfb_pallas._fx_call.clear_cache()
