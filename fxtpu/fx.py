@@ -457,11 +457,13 @@ class FxEngine:
     @property
     def int8_native(self) -> bool:
         """True when this engine runs the int8-NATIVE fused kernel: int8
-        ingest + the fused path — the slab stays int8 end-to-end (DMA
-        bytes / 4; deep-tap windows additionally get the 2-pass SVD conv,
-        shallow taps the scale-folded direct loop) and the history
-        contract is the raw tail + previous-block mean (see
-        ops.pfb_pallas.fx_pallas_raw_multi).  No dequant pass ever
+        ingest + the fused path — the samples stay 8-bit end-to-end,
+        shipped as PACKED int32 words (4 bins each: DMA is element-count
+        bound on this hardware, so packing is 4x fewer elements, unpacked
+        in-kernel by VPU shifts; deep-tap windows additionally get the
+        2-pass SVD conv, shallow taps the scale-folded direct loop) and
+        the history contract is the raw packed tail + previous-block mean
+        (see ops.pfb_pallas.fx_pallas_raw_multi).  No dequant pass ever
         materializes f32 planes in HBM."""
         return self.cfg.ingest_dtype == "int8" and self.fused_active
 
@@ -470,9 +472,12 @@ class FxEngine:
         if self.impl == "planes":
             if self.int8_native:
                 halo = self.cfg.ntaps - 1
+                # raw tail travels PACKED (4 bins/int32 word), matching
+                # the kernel's input layout — see prepare_block
                 return {
                     "tail": pl_ops.czeros(
-                        (self.cfg.nchan, halo, self.cfg.nbins), jnp.int8),
+                        (self.cfg.nchan, halo, self.cfg.nbins // 4),
+                        jnp.int32),
                     "mu_prev": pl_ops.czeros((self.cfg.nchan,),
                                              jnp.float32),
                 }
@@ -520,10 +525,18 @@ class FxEngine:
                 re = np.ascontiguousarray(block[..., 0])
                 im = np.ascontiguousarray(block[..., 1])
                 if self.fused_active:
+                    # int8-NATIVE: frame + PACK 4 bins/int32 word — DMA on
+                    # this hardware is element-count-bound (f32 218 vs
+                    # int8 51 GB/s measured at equal element counts), so
+                    # packed words ship 4x fewer elements; the kernel
+                    # unpacks with VPU shifts (ops.pfb_pallas._unpack_i8)
+                    from fxtpu.ops.pfb_pallas import pack_int8_planes
                     s = re.shape[-1] // self.cfg.nbins
                     shape = (*re.shape[:-1], s, self.cfg.nbins)
-                    re = re[..., : s * self.cfg.nbins].reshape(shape)
-                    im = im[..., : s * self.cfg.nbins].reshape(shape)
+                    re = pack_int8_planes(
+                        re[..., : s * self.cfg.nbins].reshape(shape))
+                    im = pack_int8_planes(
+                        im[..., : s * self.cfg.nbins].reshape(shape))
                 return Cplx(jnp.asarray(re), jnp.asarray(im))
             if self.mesh is not None and np.ndim(block) == 2:
                 from fxtpu.parallel.ingest import put_block

@@ -383,6 +383,33 @@ def _svd_fir_band(u: np.ndarray, pad: int, ntaps: int,
     return band
 
 
+def _unpack_i8(words, dtype):
+    """Packed int32 words -> the int8 plane they carry, [rows, 4*nb4].
+
+    Word L of a packed row holds bins {k*nb4 + L : k in 0..3} in its 4
+    bytes (byte k = bin-quarter k; see pack_int8_planes).  DMA cost on
+    this hardware scales with ELEMENT count, not bytes (measured v5e:
+    f32 218 GB/s vs int8 51 GB/s at identical element counts), so int8
+    planes travel as 4x fewer int32 words and unpack here on the VPU:
+    two shifts sign-extend each byte, and a lane-concat of the four
+    contiguous bin-quarters rebuilds natural bin order."""
+    qs = [jax.lax.shift_right_arithmetic(
+        jnp.left_shift(words, 24 - 8 * k), 24).astype(dtype)
+        for k in range(4)]
+    return jnp.concatenate(qs, axis=-1)
+
+
+def pack_int8_planes(a: np.ndarray) -> np.ndarray:
+    """HOST-side pack: int8 ``[..., nbins]`` -> int32 ``[..., nbins//4]``
+    with word L byte k = bin ``k*(nbins//4) + L`` (little-endian view, so
+    byte 0 is the low byte — matching _unpack_i8's shift order)."""
+    nb = a.shape[-1]
+    assert nb % 4 == 0, nb
+    q = a.reshape(*a.shape[:-1], 4, nb // 4)
+    q = np.ascontiguousarray(np.moveaxis(q, -2, -1))   # [..., nb4, 4]
+    return q.view(np.int32)[..., 0]
+
+
 def _dot3(x_hi, x_lo, m_hi, m_lo):
     """x @ m at ~HIGH precision from bf16 splits, f32 accumulation."""
     kw = dict(preferred_element_type=jnp.float32)
@@ -592,10 +619,25 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
     ssum = jnp.zeros((8, 128), jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     for c in range(nch):
-        plane_re = slab[buf, c, 0]
-        plane_im = slab[buf, c, 1]
-        # raw sample sums over THIS tile's own data rows only (int8:
-        # cast only the summed rows — the conv reads int8->bf16 directly)
+        if int8_in and _abl == "dma0":
+            # raw packed-DMA floor: touch the slab words, skip the unpack
+            q = slab[buf, c, 0][:tile].astype(jnp.float32)
+            qr = q.reshape(tile, n1 // 4, n2)
+            z = jnp.zeros((tile, n1 - n1 // 4, n2), jnp.float32)
+            spec.append((jnp.concatenate([qr, z], axis=1),
+                         jnp.concatenate([z, qr], axis=1)))
+            continue
+        if int8_in:
+            # packed int32 words (4 bins each): one unpack per plane.
+            # bf16 holds int8 exactly, which the SVD conv consumes
+            # directly; the direct tap loop wants f32 operands.
+            udt = jnp.bfloat16 if svd_r else jnp.float32
+            plane_re = _unpack_i8(slab[buf, c, 0], udt)
+            plane_im = _unpack_i8(slab[buf, c, 1], udt)
+        else:
+            plane_re = slab[buf, c, 0]
+            plane_im = slab[buf, c, 1]
+        # raw sample sums over THIS tile's own data rows only
         sr = jnp.sum(plane_re[pad:].astype(jnp.float32))
         si = jnp.sum(plane_im[pad:].astype(jnp.float32))
         ssum = ssum + jnp.where(lane == 2 * c, sr, 0.0) \
@@ -618,7 +660,8 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
             def conv_chunk(plane, c0):
                 if int8_in:
                     # int8 samples are bf16-EXACT: no data split, 2 passes
-                    hi = plane[c0:c0 + win].astype(jnp.bfloat16)
+                    # (plane arrives unpacked-as-bf16 from _unpack_i8)
+                    hi = plane[c0:c0 + win]
                     return (jnp.dot(bh_ref[:], hi, **kw3)
                             + jnp.dot(bl_ref[:], hi, **kw3))
                 hi, lo = _split_bf16(plane[c0:c0 + win])
@@ -640,12 +683,9 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
             fir_re = fir_chunks(plane_re)
             fir_im = fir_chunks(plane_im)
         else:
-            # direct tap loop.  int8 mode: one f32 cast of the slab
-            # window (exact; dequant scale pre-folded into w_ref), then
-            # the identical loop.
-            if int8_in:
-                plane_re = plane_re.astype(jnp.float32)
-                plane_im = plane_im.astype(jnp.float32)
+            # direct tap loop.  int8 mode: the plane arrives unpacked as
+            # exact f32 (dequant scale pre-folded into w_ref), then the
+            # identical loop.
             fir_re = w_ref[0] * plane_re[off:off + tile]
             fir_im = w_ref[0] * plane_im[off:off + tile]
             for tap in range(1, ntaps):
@@ -794,7 +834,12 @@ def _default_nbuf(nbins: int, int8_in: bool) -> int:
 def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
              pairs_t, w_key=None, quant_step: float = 1.0):
     interpret = jax.default_backend() != "tpu"
-    int8_in = x_re.dtype == jnp.int8
+    if x_re.dtype == jnp.int8:
+        raise ValueError(
+            "int8-native fused input must arrive PACKED as int32 words "
+            "(4 bins each) — see pack_int8_planes; raw int8 DMA runs at "
+            "1/4 the element rate on this hardware")
+    int8_in = x_re.dtype == jnp.int32
     k_blocks, nch, s_rows, _ = x_re.shape
     ntaps = w2d.shape[0]
     halo = ntaps - 1
@@ -844,7 +889,9 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
     # int8 + direct tap loop: the dequant scale folds into the window
     w_in = w2d * quant_step if (int8_in and not svd_r) else w2d
 
-    slab_dtype = jnp.int8 if int8_in else jnp.float32
+    slab_dtype = jnp.int32 if int8_in else jnp.float32
+    # int8 mode: the slab holds PACKED words — 4x fewer lanes
+    nb_lanes = nbins // 4 if int8_in else nbins
     # int8 mode never touches hist_s / hout: dummy-sized to keep the
     # kernel's positional ref plumbing uniform
     hist_shape = (1, 1, 8, 128) if int8_in else (nch, 2, pad, nbins)
@@ -896,7 +943,7 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
             jax.ShapeDtypeStruct(hist_shape, jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, nch, 2, tile + _halo_pad(ntaps), nbins),
+            pltpu.VMEM((nbuf, nch, 2, tile + _halo_pad(ntaps), nb_lanes),
                        slab_dtype),
             pltpu.VMEM(hist_shape, jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
@@ -1039,11 +1086,14 @@ def fx_pallas_parts(x: Cplx, w2d, nbins: int, history: Cplx, pairs,
     """
     ntaps = int(w2d.shape[0])
     halo = ntaps - 1
-    int8_in = x.re.dtype == jnp.int8
+    int8_in = x.re.dtype in (jnp.int8, jnp.int32)
     if x.re.ndim == 4:
         k_blocks, nch, s_rows, _ = x.re.shape
         rows_re, rows_im = x.re, x.im
     else:
+        if int8_in:
+            raise ValueError("int8-native planes must arrive pre-framed "
+                             "[K, nch, S, nbins//4] (packed int32)")
         k_blocks, nch, nsamp = x.shape
         s_rows = nsamp // nbins
         rows_re = x.re[..., : s_rows * nbins].reshape(
@@ -1058,7 +1108,7 @@ def fx_pallas_parts(x: Cplx, w2d, nbins: int, history: Cplx, pairs,
             f"fused kernel supports at most {MAX_FUSED_NCHAN} channels "
             f"(2 lanes per channel in the sample-sum accumulator), got {nch}")
     pad = _halo_pad(ntaps)
-    hist_dtype = jnp.int8 if int8_in else jnp.float32
+    hist_dtype = jnp.int32 if int8_in else jnp.float32
     hist = jnp.stack([history.re, history.im], axis=1).astype(hist_dtype)
     hist = jnp.pad(hist, ((0, 0), (0, 0), (pad - halo, 0), (0, 0)))
     pairs_t = tuple((int(p), int(q)) for p, q in np.asarray(pairs))
@@ -1113,14 +1163,15 @@ def fx_pallas_raw_multi(x: Cplx, w2d, nbins: int, history, pairs,
     arrays (rotation commutes with the frame sum; see module notes).
 
     History contract: f32 mode in/out is the DC-corrected previous-block
-    tail (Cplx).  int8-NATIVE mode (x planes int8 + deep-tap SVD window):
-    history is a dict ``{"tail": Cplx int8 raw tail [nch, halo, nbins],
+    tail (Cplx).  int8-NATIVE mode (x planes PACKED int32 words via
+    pack_int8_planes — 4 bins/word, 4x fewer DMA elements): history is a
+    dict ``{"tail": Cplx packed-int32 raw tail [nch, halo, nbins//4],
     "mu_prev": Cplx [nch] previous-block means (real units)}`` — the
     kernel consumes the raw tail directly and the previous-block mean
     correction runs post-hoc (the mu_prev terms of _dc_correct)."""
     pairs_np = np.asarray(pairs)
     int8_native = (isinstance(history, dict)
-                   or (x.re.dtype == jnp.int8))
+                   or (x.re.dtype in (jnp.int8, jnp.int32)))
     consts = _dc_constants(tuple(np.asarray(w2d, np.float64).ravel()),
                            nbins, x.re.shape[-2] if x.re.ndim == 4
                            else x.re.shape[-1] // nbins)

@@ -29,8 +29,8 @@ def save_state(path: str, *, history, delays, blocks_processed: int,
                accumulator=None, accumulated: int = 0, meta: Optional[dict] = None):
     """Atomically snapshot streaming state.  ``history``/``accumulator`` may
     be Cplx planes or complex arrays; the int8-native fused engine's
-    history dict (raw int8 tail + previous-block mean) is stored as two
-    fields."""
+    history dict (raw tail — packed int32 words — + previous-block mean)
+    is stored as two fields with the tail's own integer dtype."""
     payload = {
         "version": STATE_VERSION,
         "delays": np.asarray(delays, dtype=np.float64),
@@ -38,10 +38,8 @@ def save_state(path: str, *, history, delays, blocks_processed: int,
         "accumulated": np.int64(accumulated),
     }
     if isinstance(history, dict):
-        payload["history_tail_re"] = np.asarray(history["tail"].re,
-                                                dtype=np.int8)
-        payload["history_tail_im"] = np.asarray(history["tail"].im,
-                                                dtype=np.int8)
+        payload["history_tail_re"] = np.asarray(history["tail"].re)
+        payload["history_tail_im"] = np.asarray(history["tail"].im)
         payload["history_mu_prev"] = _as_complex(history["mu_prev"])
     else:
         payload["history"] = _as_complex(history)

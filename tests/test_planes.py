@@ -519,7 +519,9 @@ class TestInt8NativeFused:
         blocks, deq = self._blocks()
         d = jnp.asarray([0.0, 3e-7], jnp.float32)
         hq, hf = eng_q.fresh_history(), eng_f.fresh_history()
-        assert isinstance(hq, dict) and hq["tail"].re.dtype == jnp.int8
+        # raw tail travels packed: int32 words, 4 bins each
+        assert isinstance(hq, dict) and hq["tail"].re.dtype == jnp.int32
+        assert hq["tail"].re.shape[-1] == self.NBINS // 4
         for b, bf in zip(blocks, deq):
             vq, hq = eng_q.step(eng_q.prepare_block(b), d, hq)
             vf, hf = eng_f.step(eng_f.prepare_block(bf), d, hf)
@@ -561,7 +563,7 @@ class TestInt8NativeFused:
                               blocks_processed=1)
         state = checkpoint.load_state(p)
         got = state["history"]
-        assert got["tail"].re.dtype == np.int8
+        assert got["tail"].re.dtype == np.int32   # packed 4-bin words
         np.testing.assert_array_equal(np.asarray(got["tail"].re),
                                       np.asarray(hist["tail"].re))
         np.testing.assert_allclose(np.asarray(got["mu_prev"].re),
