@@ -428,6 +428,7 @@ def _cdot3(xr, xi, mc_hi, mc_lo, ms_hi, ms_lo):
     return out_re, out_im
 def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                m1l_ref, twc_ref, tws_ref, m2h_ref, m2l_ref,
+               dare_ref, daim_ref,
                *rest,
                tile: int, ntaps: int, n1: int, n2: int,
                n_tiles: int, nch: int, k_blocks: int, pairs,
@@ -439,7 +440,13 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
 
       * raw cross power per baseline           (out_ref  [1, nbl, 2, n1, n2])
       * per-channel spectral sums over frames  (tout_ref [1, nch, 2, n1, n2])
-      * the first ntaps-1 frames' spectra      (uout_ref, captured at t==0)
+      * the first-halo frames' spectra CONTRACTED against the dA window
+        constants: GJ_c = sum_j spec_c[j] * conj(dA[j])
+        (uout_ref [1, nch, 2, n1, n2], captured at t==0 — emitting the
+        contraction instead of the raw [halo, nbins] frames keeps this
+        output halo-times smaller and deletes the multi-MB XLA post-pass
+        that used to consume it; dare/daim are conj-ready planes in the
+        kernel's permuted [halo, n1, n2] layout)
       * per-channel raw sample sums            (sout_ref [1, 8, 128]:
         row 0, lane 2c / 2c+1 = re / im sum)
 
@@ -755,10 +762,13 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
         def _(c=c, t_re=t_re, t_im=t_im, cr=cr, ci=ci):
             tout_ref[0, c, 0] = t_re
             tout_ref[0, c, 1] = t_im
-            # first ntaps-1 frames: the only ones whose FIR reaches into
-            # the (already-corrected) stream history
-            uout_ref[0, c, 0] = cr[:halo].reshape(halo * n1, n2)
-            uout_ref[0, c, 1] = ci[:halo].reshape(halo * n1, n2)
+            # first ntaps-1 frames (the only ones whose FIR reaches into
+            # the stream history), contracted against conj(dA) in place:
+            # GJ = sum_j (cr_j + i ci_j)(dAre_j - i dAim_j)
+            uout_ref[0, c, 0] = jnp.sum(
+                cr[:halo] * dare_ref[:] + ci[:halo] * daim_ref[:], axis=0)
+            uout_ref[0, c, 1] = jnp.sum(
+                ci[:halo] * dare_ref[:] - cr[:halo] * daim_ref[:], axis=0)
 
         @pl.when(t != 0)
         def _(c=c, t_re=t_re, t_im=t_im):
@@ -869,6 +879,20 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
     nbl = len(pairs_t)
     pad = _halo_pad(ntaps)
 
+    # dA = A_j - Abar window constants for the in-kernel first-halo
+    # contraction (see _dc_constants), in the kernel's permuted
+    # [halo, n1(k1), n2(k2)] layout: natural bin = k1 + n1*k2
+    w2d64 = np.asarray(
+        w_key if w_key is not None
+        else np.asarray(w2d, np.float64).ravel(), np.float64
+    ).reshape(ntaps, nbins)
+    abar_np = np.fft.fft(w2d64.sum(axis=0))
+    a_j_np = np.stack([np.fft.fft(w2d64[ntaps - 1 - j:].sum(axis=0))
+                       for j in range(halo)])
+    da_np = (a_j_np - abar_np).reshape(halo, n2, n1).transpose(0, 2, 1)
+    dare = jnp.asarray(np.ascontiguousarray(da_np.real.astype(np.float32)))
+    daim = jnp.asarray(np.ascontiguousarray(da_np.imag.astype(np.float32)))
+
     # Deep-tap FIR: rank factorization -> banded-matmul inputs (see the
     # SVD-FIR block comment).  w_key is the static window fingerprint.
     tol = _SVD_TOL_INT8 if int8_in else _SVD_TOL
@@ -920,15 +944,16 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
             vmem, vmem,                              # stage-1 mat hi/lo
             vmem, vmem,                              # twiddle cos/sin f32
             vmem, vmem,                              # stage-2 mat hi/lo
+            vmem, vmem,                              # dA re/im [halo, n1, n2]
         ] + [vmem] * len(svd_inputs),                # SVD band hi/lo + v
         out_specs=(
             pl.BlockSpec((1, nbl, 2, n1, n2), lambda k, t: (k, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),   # raw cross power
             pl.BlockSpec((1, nch, 2, n1, n2), lambda k, t: (k, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),   # spectral sums T
-            pl.BlockSpec((1, nch, 2, halo * n1, n2),
+            pl.BlockSpec((1, nch, 2, n1, n2),
                          lambda k, t: (k, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),   # first-frame spectra U
+                         memory_space=pltpu.VMEM),   # first-frames GJ
             pl.BlockSpec((1, 8, 128), lambda k, t: (k, 0, 0),
                          memory_space=pltpu.VMEM),   # raw sample sums
             pl.BlockSpec(hist_shape, lambda k, t: (0, 0, 0, 0),
@@ -937,8 +962,7 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
         out_shape=(
             jax.ShapeDtypeStruct((k_blocks, nbl, 2, n1, n2), jnp.float32),
             jax.ShapeDtypeStruct((k_blocks, nch, 2, n1, n2), jnp.float32),
-            jax.ShapeDtypeStruct((k_blocks, nch, 2, halo * n1, n2),
-                                 jnp.float32),
+            jax.ShapeDtypeStruct((k_blocks, nch, 2, n1, n2), jnp.float32),
             jax.ShapeDtypeStruct((k_blocks, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct(hist_shape, jnp.float32),
         ),
@@ -956,7 +980,8 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
         interpret=interpret,
     )(x_re, x_im, hist_stacked, w_in, m1h, m1l,
       jnp.asarray(np.ascontiguousarray(twc)),
-      jnp.asarray(np.ascontiguousarray(tws)), m2h, m2l, *svd_inputs)
+      jnp.asarray(np.ascontiguousarray(tws)), m2h, m2l, dare, daim,
+      *svd_inputs)
 
 
 def _fx_perm(nbins: int) -> np.ndarray:
@@ -1008,14 +1033,17 @@ def _dc_constants(w_key, nbins: int, s_rows: int):
             f32(cbb))
 
 
-def _dc_correct(xp: Cplx, T: Cplx, U: Cplx, mu: Cplx, pairs_np,
+def _dc_correct(xp: Cplx, T: Cplx, GJ: Cplx, mu: Cplx, pairs_np,
                 consts, s_rows: int, mu_prev: Cplx = None) -> Cplx:
     """Apply the DC-spike correction to the raw frame-summed cross power.
+
+    ``GJ`` [K, nch, nbins] arrives pre-contracted from the kernel:
+    GJ_c = sum_j spec_c[j] (A_j - Abar)*.
 
     Corrected-tail history contract (``mu_prev=None``), with
     s'_c[f] = s_c[f] - mu_c A[f]:
       sum_f s'_p s'_q* = xp - mu_q* G_p - mu_p conj(G_q) + mu_p mu_q* Cs,
-      G_c = Abar* T_c + sum_j U_c[j] (A_j - Abar)*.
+      G_c = Abar* T_c + GJ_c.
 
     RAW-tail contract (int8-native kernel; ``mu_prev`` = each block's
     PREVIOUS block mean): the first-halo frames additionally carry the
@@ -1027,11 +1055,10 @@ def _dc_correct(xp: Cplx, T: Cplx, U: Cplx, mu: Cplx, pairs_np,
       H_c = sum_j U_c[j] B_j* = Abar* T_c - G_c.
 
     All arrays are tiny ([K, ..., nbins], natural order)."""
-    abar, da, cs, cab, cbb = consts
-    # G_c = conj(Abar) * T_c + sum_j U_c[j] * conj(dA[j])   [K, nch, nbins]
+    abar, _, cs, cab, cbb = consts
+    # G_c = conj(Abar) * T_c + GJ_c   [K, nch, nbins]
     ta = cmulconj(T, Cplx(abar.re[None, None], abar.im[None, None]))
-    gj = cmulconj(U, Cplx(da.re[None, None], da.im[None, None]))
-    g = Cplx(ta.re + gj.re.sum(axis=2), ta.im + gj.im.sum(axis=2))
+    g = Cplx(ta.re + GJ.re, ta.im + GJ.im)
     p_idx = pairs_np[:, 0]
     q_idx = pairs_np[:, 1]
 
@@ -1073,7 +1100,10 @@ def fx_pallas_parts(x: Cplx, w2d, nbins: int, history: Cplx, pairs,
     single-device wrapper and the sharded path (which must psum the parts
     across shards BEFORE correcting):
 
-      (xp_raw [K, nbl, nbins], T [K, nch, nbins], U [K, nch, halo, nbins],
+      (xp_raw [K, nbl, nbins], T [K, nch, nbins],
+       GJ [K, nch, nbins] = sum_j spec[j] conj(dA[j]) (the first-halo
+       frames' spectra pre-contracted in-kernel against the dA window
+       constants — all _dc_correct ever needs from them),
        mu [K, nch] complex means, tail [nch, ntaps-1, nbins] — already
        DC-corrected with the last block's own mean in-kernel)
 
@@ -1130,21 +1160,16 @@ def fx_pallas_parts(x: Cplx, w2d, nbins: int, history: Cplx, pairs,
 
     xp = nat(out, (k_blocks, nbl))
     T = nat(tsum, (k_blocks, nch))
-    # U arrives as [K, nch, 2, halo*n1, n2] with frame-major rows
-    n1, n2 = _kernel_factor(nbins)
-    U = nat(ufr.reshape(k_blocks, nch, 2, halo, n1, n2
-                        ).swapaxes(2, 3).reshape(k_blocks, nch * halo, 2,
-                                                 nbins),
-            (k_blocks, nch * halo))
-    U = Cplx(U.re.reshape(k_blocks, nch, halo, nbins),
-             U.im.reshape(k_blocks, nch, halo, nbins))
+    # GJ = sum_j spec[j] * conj(dA[j]) — contracted IN-KERNEL (halo-times
+    # smaller than shipping the raw first-halo frames)
+    GJ = nat(ufr, (k_blocks, nch))
     scale = 1.0 / (s_rows * nbins)
     lanes = ssum[:, 0]  # [K, 128]: lane 2c/2c+1 = re/im sum for channel c
     mu = Cplx(lanes[:, 0:2 * nch:2] * scale,
               lanes[:, 1:2 * nch + 1:2] * scale)   # [K, nch]
     tail = (None if int8_in else
             Cplx(hist_out[:, 0, pad - halo:], hist_out[:, 1, pad - halo:]))
-    return xp, T, U, mu, tail, s_rows
+    return xp, T, GJ, mu, tail, s_rows
 
 
 def fx_pallas_raw_multi(x: Cplx, w2d, nbins: int, history, pairs,
