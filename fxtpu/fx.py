@@ -54,30 +54,26 @@ def _continuum_planes(vis: Cplx, bandwidth) -> Cplx:
 
 
 def _resolve_fused(fused, nbins, ntaps, s_rows, nch: int = 2,
-                   int8_svd: bool = False) -> bool:
-    """'auto' -> ON for supported SHALLOW-TAP shapes when running on TPU:
-    the fused full-step Pallas kernel (DC+FIR+FFT+X in VMEM, transpose-free
-    split-bf16 stages) measures 18.9 GS/s vs 10.4 for the XLA path at the
-    flagship 2ch/4-tap/4096-bin shape and 15.6 vs 5.7 at 8ch/36-baseline
-    (see ops/pfb_pallas.py); it still wins at 16 taps (9.3 vs 8.2).  At
-    32 taps the f32 kernel is compute-bound and the XLA path wins (6.5 vs
-    7.3 on the wideband config) so 'auto' caps f32 at ntaps <= 16 — but
-    the int8-NATIVE kernel beats everything there (7.55 GS/s), so int8
-    ingest with an SVD-factorizable deep-tap window turns fused on.
-    CPU runs Pallas only in slow interpret mode, so 'auto' stays off there
-    (tests opt in explicitly).  An explicit fused=True forces the kernel
-    for any supported shape."""
+                   deep_svd: bool = False) -> bool:
+    """'auto' -> ON for every supported shape on TPU (since the in-kernel
+    GJ contraction): the fused full-step Pallas kernel (DC+FIR+FFT+X in
+    VMEM, transpose-free split-bf16 stages) measures 23.1 GS/s vs 10.4
+    for the XLA path at the flagship 2ch/4-tap/4096-bin shape, 15.6 vs
+    5.7 at 8ch/36-baseline, 9.3 vs 8.2 at 16 taps (see ops/pfb_pallas.py).
+    Deep taps (> 16) need the SVD-FIR banded-matmul factorization to win:
+    with it, f32 measures 7.65 vs 7.29 XLA and int8-NATIVE 12.97 vs 7.3
+    at 32 taps/8192 bins on v5e — so 'auto' turns fused on whenever the
+    window factorizes (``deep_svd``); a non-factorizable deep-tap window
+    would run the direct tap loop, which loses (4.6 GS/s), so that case
+    stays on the XLA path.  CPU runs Pallas only in slow interpret mode,
+    so 'auto' stays off there (tests opt in explicitly).  An explicit
+    fused=True forces the kernel for any supported shape."""
     import jax
 
     from fxtpu.ops import pfb_pallas
     if fused == "auto":
-        # deep taps: the XLA path wins for f32 ingest (HBM-bound vs our
-        # compute-bound kernel, docs/design.md §8a) — but the int8-NATIVE
-        # kernel (int8 slab + 2-pass SVD conv) beats it (7.55 vs 7.28
-        # GS/s at 32 taps/8192 bins on v5e), so 'auto' turns fused on
-        # whenever the int8 deep-tap path applies.
         fused = jax.default_backend() in ("tpu",) and (ntaps <= 16
-                                                       or int8_svd)
+                                                       or deep_svd)
     return bool(fused) and pfb_pallas.supported(nbins, ntaps, s_rows, nch)
 
 
@@ -190,11 +186,12 @@ def _make_planes_core(*, mode: str, nbins: int, w2d, pairs_a,
     return core
 
 
-def _int8_svd_applies(window2d, nbins: int, int8_ingest: bool) -> bool:
-    """True when the int8-NATIVE fused path exists for this window:
-    int8 ingest + an SVD-factorizable (deep-tap) PFB window."""
-    if not int8_ingest:
-        return False
+def _deep_svd_applies(window2d, nbins: int) -> bool:
+    """True when the deep-tap fused path exists for this window: an
+    SVD-factorizable (>= SVD_FIR_MIN_TAPS, rank < ntaps) PFB window.
+    With the factorization the fused kernel beats XLA for BOTH ingest
+    widths (f32 7.65 vs 7.29, int8-native 12.97 vs 7.3 GS/s at 32
+    taps/8192 bins on v5e); without it the direct tap loop loses."""
     from fxtpu.ops.pfb_pallas import _svd_fir_factors
     return _svd_fir_factors(
         tuple(np.asarray(window2d, np.float64).ravel()), nbins) is not None
@@ -234,7 +231,7 @@ def make_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
         w2d = jnp.asarray(window2d, dtype=jnp.float32)
         use_fused = _resolve_fused(
             fused, nbins, ntaps, s_rows, nch,
-            int8_svd=_int8_svd_applies(window2d, nbins, int8_ingest))
+            deep_svd=_deep_svd_applies(window2d, nbins))
         core = _make_planes_core(
             mode=mode, nbins=nbins, w2d=w2d, pairs_a=pairs_a,
             bandwidth=bandwidth, frequency=frequency, use_fused=use_fused,
@@ -293,7 +290,7 @@ def make_fx_multi_step(*, mode: str, nbins: int, window2d: np.ndarray,
     nch = int(np.asarray(pairs).max()) + 1
     use_fused = _resolve_fused(
         fused, nbins, ntaps, s_rows, nch,
-        int8_svd=_int8_svd_applies(window2d, nbins, int8_ingest))
+        deep_svd=_deep_svd_applies(window2d, nbins))
 
     if use_fused:
         # no lax.scan: the fused kernel's grid iterates blocks itself,
@@ -416,11 +413,13 @@ class FxEngine:
 
     def __init__(self, cfg: CorrelatorConfig,
                  mesh: Optional[jax.sharding.Mesh] = None,
-                 impl: str = "planes", fused="auto"):
+                 impl: str = "planes", fused=None):
         self.cfg = cfg
         self.mesh = mesh
         self.impl = impl
-        self.fused = fused
+        # None -> inherit cfg.fused, so FxEngine(cfg) honors the config
+        # knob; an explicit True/False/'auto' kwarg still overrides.
+        self.fused = fused = cfg.fused if fused is None else fused
         self.window = pfb_window(cfg.ntaps, cfg.nbins, cfg.window)
         self.window2d = self.window.reshape(cfg.ntaps, cfg.nbins)
         self.pairs = baseline_pairs(cfg.nchan, cfg.include_autos)
@@ -493,9 +492,8 @@ class FxEngine:
                 and _resolve_fused(
                     self.fused, self.cfg.nbins, self.cfg.ntaps,
                     self.cfg.num_samp // self.cfg.nbins, self.cfg.nchan,
-                    int8_svd=_int8_svd_applies(
-                        self.window2d, self.cfg.nbins,
-                        self.cfg.ingest_dtype == "int8")))
+                    deep_svd=_deep_svd_applies(
+                        self.window2d, self.cfg.nbins)))
 
     def prepare_block(self, block: np.ndarray):
         """Host block [nch, num_samp] complex64 -> device input form.

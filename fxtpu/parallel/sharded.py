@@ -213,10 +213,11 @@ def make_sharded_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
 
     # ------------------------------------------------------------------
     if impl == "planes":
-        from fxtpu.fx import _resolve_fused
+        from fxtpu.fx import _deep_svd_applies, _resolve_fused
         s_loc = s_rows // n_shards
         nch = int(np.asarray(pairs).max()) + 1
-        use_fused = _resolve_fused(fused, nbins, ntaps, s_loc, nch)
+        use_fused = _resolve_fused(fused, nbins, ntaps, s_loc, nch,
+                                   deep_svd=_deep_svd_applies(w2d, nbins))
         if use_fused:
             return _make_fused_sharded_step(
                 mode=mode, nbins=nbins, w2d=w2d, pairs=pairs_a,
