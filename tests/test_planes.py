@@ -391,6 +391,19 @@ class TestFusedPallas:
         amps = np.abs(data)
         assert abs(int(np.argmax(amps)) - 3) <= 1
 
+    def test_engine_inherits_config_fused_knob(self):
+        """FxEngine(cfg) honors cfg.fused (it used to silently default to
+        'auto'); an explicit kwarg still overrides the config."""
+        cfg = CorrelatorConfig(mode="SPECTRUM", num_samp=2**13, nbins=256,
+                               ntaps=4, clamp_num_samp=False, fused=True)
+        assert FxEngine(cfg).fused_active
+        assert not FxEngine(cfg, fused=False).fused_active
+        cfg_off = CorrelatorConfig(mode="SPECTRUM", num_samp=2**13,
+                                   nbins=256, ntaps=4,
+                                   clamp_num_samp=False, fused=False)
+        assert not FxEngine(cfg_off).fused_active
+        assert FxEngine(cfg_off, fused=True).fused_active
+
     def test_unsupported_shapes_fall_back(self):
         from fxtpu.ops.pfb_pallas import supported
         assert not supported(256, 1, 32)      # ntaps < 2
