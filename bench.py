@@ -259,13 +259,10 @@ def bench_host_pipeline(block_pow: int = 21, nchan: int = 2,
         for f in feeders:
             f.start()
 
-        # staging buffers: the contiguous planes a device_put would read
-        if ingest == "int8":
-            stage = [np.empty((nchan, num_samp), np.int8) for _ in range(2)]
-        else:
-            stage = [np.empty((nchan, num_samp), np.float32)
-                     for _ in range(2)]
-
+        # staging: the exact contiguous planes prepare_block would hand to
+        # device_put (native single-pass split when libfxring is built)
+        from fxtpu.runtime.native import split_planes_c64, split_planes_i8
+        stage = None
         blocks = 0
         deadline = time.perf_counter() + seconds
         t0 = time.perf_counter()
@@ -274,12 +271,11 @@ def bench_host_pipeline(block_pow: int = 21, nchan: int = 2,
             if block is None:
                 break
             if ingest == "int8":
-                np.copyto(stage[0], block[..., 0])
-                np.copyto(stage[1], block[..., 1])
+                stage = split_planes_i8(block)
             else:
-                np.copyto(stage[0], block.real)
-                np.copyto(stage[1], block.imag)
+                stage = split_planes_c64(block)
             blocks += 1
+        del stage
         dt = time.perf_counter() - t0
         for f in feeders:
             f.stop()

@@ -520,21 +520,18 @@ class FxEngine:
                     from fxtpu.parallel.ingest import put_block
                     return put_block(block, self.mesh,
                                      global_num_samp=self.cfg.num_samp)
-                re = np.ascontiguousarray(block[..., 0])
-                im = np.ascontiguousarray(block[..., 1])
                 if self.fused_active:
                     # int8-NATIVE: frame + PACK 4 bins/int32 word — DMA on
                     # this hardware is element-count-bound (f32 218 vs
                     # int8 51 GB/s measured at equal element counts), so
                     # packed words ship 4x fewer elements; the kernel
-                    # unpacks with VPU shifts (ops.pfb_pallas._unpack_i8)
-                    from fxtpu.ops.pfb_pallas import pack_int8_planes
-                    s = re.shape[-1] // self.cfg.nbins
-                    shape = (*re.shape[:-1], s, self.cfg.nbins)
-                    re = pack_int8_planes(
-                        re[..., : s * self.cfg.nbins].reshape(shape))
-                    im = pack_int8_planes(
-                        im[..., : s * self.cfg.nbins].reshape(shape))
+                    # unpacks with VPU shifts (ops.pfb_pallas._unpack_i8).
+                    # One native pass fuses deinterleave + frame + pack.
+                    from fxtpu.runtime.native import pack_planes_i8
+                    re, im = pack_planes_i8(block, self.cfg.nbins)
+                else:
+                    from fxtpu.runtime.native import split_planes_i8
+                    re, im = split_planes_i8(block)
                 return Cplx(jnp.asarray(re), jnp.asarray(im))
             if self.mesh is not None and np.ndim(block) == 2:
                 from fxtpu.parallel.ingest import put_block

@@ -49,6 +49,11 @@ class Cplx(NamedTuple):
 def from_complex(x) -> Cplx:
     """Host-side split of a complex array into planes (numpy or jax)."""
     if isinstance(x, np.ndarray):
+        if x.dtype == np.complex64 and x.flags.c_contiguous:
+            # native single-pass deinterleave (2x numpy's strided extract)
+            from fxtpu.runtime.native import split_planes_c64
+            re, im = split_planes_c64(x)
+            return Cplx(jnp.asarray(re), jnp.asarray(im))
         return Cplx(jnp.asarray(np.ascontiguousarray(x.real)),
                     jnp.asarray(np.ascontiguousarray(x.imag)))
     x = jnp.asarray(x)

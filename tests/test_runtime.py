@@ -283,3 +283,65 @@ def test_host_pipeline_bench_smoke():
     res8 = bench.bench_host_pipeline(block_pow=16, seconds=0.5,
                                      ingest="int8")
     assert res8["samples_per_s"] > 1e6
+
+
+class TestNativeDataplane:
+    """Parity of the native host data-plane kernels (native/dataplane.cpp)
+    against their numpy-fallback expressions — both run regardless of
+    whether the library is built (the wrappers fall back identically)."""
+
+    def _block(self, shape, rng):
+        return (rng.normal(size=shape).astype(np.float32)
+                + 1j * rng.normal(size=shape).astype(np.float32)
+                ).astype(np.complex64)
+
+    def test_quantize_c64_matches_numpy(self):
+        rng = np.random.default_rng(7)
+        block = self._block((2, 4097), rng) * 3.0
+        q = native.quantize_c64(block, 1.0 / 32)
+        ref = np.empty((*block.shape, 2), np.int8)
+        np.clip(np.rint(block.real * 32.0), -127, 127, out=ref[..., 0],
+                casting="unsafe")
+        np.clip(np.rint(block.imag * 32.0), -127, 127, out=ref[..., 1],
+                casting="unsafe")
+        assert np.array_equal(q, ref)
+        # saturation: values beyond the int8 range clip, never wrap
+        hot = np.full(16, 99.0 + 99.0j, np.complex64)
+        qh = native.quantize_c64(hot, 1.0 / 32)
+        assert np.all(qh == 127)
+        assert np.all(native.quantize_c64(-hot, 1.0 / 32) == -127)
+
+    def test_split_planes_match(self):
+        rng = np.random.default_rng(8)
+        c = self._block((3, 1000), rng)
+        re, im = native.split_planes_c64(c)
+        assert re.dtype == np.float32 and re.flags.c_contiguous
+        assert np.array_equal(re, c.real) and np.array_equal(im, c.imag)
+        q = native.quantize_c64(c, 1.0 / 32)
+        r8, i8 = native.split_planes_i8(q)
+        assert np.array_equal(r8, q[..., 0])
+        assert np.array_equal(i8, q[..., 1])
+
+    def test_pack_planes_i8_matches_reference_pack(self):
+        from fxtpu.ops.pfb_pallas import pack_int8_planes
+        rng = np.random.default_rng(9)
+        nbins, s, nch = 256, 5, 2
+        q = native.quantize_c64(self._block((nch, s * nbins), rng),
+                                1.0 / 32)
+        rew, imw = native.pack_planes_i8(q, nbins)
+        assert rew.shape == (nch, s, nbins // 4) and rew.dtype == np.int32
+        framed = q.reshape(nch, s, nbins, 2)
+        assert np.array_equal(
+            rew, pack_int8_planes(np.ascontiguousarray(framed[..., 0])))
+        assert np.array_equal(
+            imw, pack_int8_planes(np.ascontiguousarray(framed[..., 1])))
+
+    def test_pack_planes_i8_nondivisible_tail_sliced(self):
+        rng = np.random.default_rng(10)
+        nbins = 128
+        q = native.quantize_c64(self._block((2, 3 * nbins + 17), rng),
+                                1.0 / 32)
+        rew, imw = native.pack_planes_i8(q, nbins)   # numpy fallback path
+        rew2, imw2 = native.pack_planes_i8(
+            np.ascontiguousarray(q[:, : 3 * nbins]), nbins)  # native path
+        assert np.array_equal(rew, rew2) and np.array_equal(imw, imw2)
