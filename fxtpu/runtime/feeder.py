@@ -151,8 +151,16 @@ class BlockAligner:
     def __init__(self, bufs: List[RingBuffer]):
         self.bufs = bufs
         self.realigned = 0
+        # zero-copy alignment: native rings expose peek/release views, so
+        # the aligned [nchan, num_samp] block is gathered in ONE copy per
+        # channel (slot -> output row) instead of two (slot -> per-channel
+        # array -> np.stack row)
+        self._views = all(hasattr(b, "get_view") and hasattr(b, "release")
+                          for b in bufs)
 
     def get(self, timeout: float = 1.0) -> Optional[np.ndarray]:
+        if self._views:
+            return self._get_via_views(timeout)
         deadline = time.time() + timeout
         items = []
         for buf in self.bufs:
@@ -174,3 +182,36 @@ class BlockAligner:
                         return None
                     seq, blk = nxt
                     items[c] = (seq, blk)
+
+    def _get_via_views(self, timeout: float) -> Optional[np.ndarray]:
+        """Single-copy alignment path.  Peeked-but-unconsumed slots stay in
+        their rings on timeout (release() is only called to CONSUME a slot:
+        either a laggard being discarded — counted in ``realigned`` — or a
+        row that has been copied into the output block)."""
+        deadline = time.time() + timeout
+        items: List = []   # (seq, view) per channel, all peeked
+        for buf in self.bufs:
+            item = buf.get_view(timeout=max(deadline - time.time(), 1e-3))
+            if item is None:
+                return None
+            items.append(item)
+        while True:
+            target = max(seq for seq, _ in items)
+            if all(seq == target for seq, _ in items):
+                break
+            self.realigned += 1
+            for c, (seq, _) in enumerate(items):
+                while seq < target:
+                    self.bufs[c].release()   # discard the laggard slot
+                    nxt = self.bufs[c].get_view(
+                        timeout=max(deadline - time.time(), 1e-3))
+                    if nxt is None:
+                        return None
+                    seq, _view = nxt
+                    items[c] = (seq, _view)
+        out = np.empty((len(self.bufs), *items[0][1].shape),
+                       items[0][1].dtype)
+        for c, (_seq, view) in enumerate(items):
+            np.copyto(out[c], view)
+            self.bufs[c].release()
+        return out

@@ -345,3 +345,31 @@ class TestNativeDataplane:
         rew2, imw2 = native.pack_planes_i8(
             np.ascontiguousarray(q[:, : 3 * nbins]), nbins)  # native path
         assert np.array_equal(rew, rew2) and np.array_equal(imw, imw2)
+
+
+@pytest.mark.skipif(not native.native_available(),
+                    reason="native lib not built (make -C native)")
+def test_aligner_view_path_realigns_with_native_rings():
+    """The zero-copy (peek/release) alignment path keeps the realign
+    semantics of the copy path: laggard slots are consumed and counted,
+    timeouts leave unconsumed slots in place."""
+    from fxtpu.runtime.feeder import BlockAligner
+    b0 = native.NativeRingBuffer(8, (4,), np.complex64)
+    b1 = native.NativeRingBuffer(8, (4,), np.complex64)
+    for seq in (0, 1, 2):
+        b0.put(np.full(4, seq, np.complex64), seq=seq)
+    for seq in (0, 2):
+        b1.put(np.full(4, 10 + seq, np.complex64), seq=seq)
+    al = BlockAligner([b0, b1])
+    assert al._views
+    blk = al.get(timeout=0.5)
+    assert blk[0][0] == 0 and blk[1][0] == 10
+    blk = al.get(timeout=0.5)  # seq 1 on ch0 must be skipped
+    assert blk[0][0] == 2 and blk[1][0] == 12
+    assert al.realigned == 1
+    # nothing left: a timeout returns None without consuming anything
+    assert al.get(timeout=0.05) is None
+    b0.put(np.full(4, 3, np.complex64), seq=3)
+    b1.put(np.full(4, 13, np.complex64), seq=3)
+    blk = al.get(timeout=0.5)
+    assert blk[0][0] == 3 and blk[1][0] == 13
