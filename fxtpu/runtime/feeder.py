@@ -92,6 +92,19 @@ class Feeder:
             # — retry until space or stop, surviving e.g. a multi-minute
             # XLA first-compile stall without killing the run.
             realtime = getattr(self.source, "realtime", True)
+            # Zero-copy producer: a single-channel source paired with one
+            # native ring writes each block DIRECTLY into the reserved
+            # ring slot (ReplaySource copies once; QuantizedSource
+            # quantizes into the slot) — the per-channel parallel feeder
+            # configuration the >=100 MS/s pipeline runs.
+            if (self.sample_span is None and len(self.bufs) == 1
+                    and getattr(self.bufs[0], "can_reserve", False)
+                    and hasattr(self.source, "read_block_into")
+                    and getattr(self.source, "nchan", 0) == 1):
+                self._run_zero_copy(t0, realtime)
+                logger.info("Buffering ended at %s",
+                            time.strftime("%a, %d %b %Y %H:%M:%S"))
+                return
             while not self._stop.is_set():
                 if self.sample_span is not None:
                     block = self.source.read_block_span(self.num_samp,
@@ -137,6 +150,27 @@ class Feeder:
         finally:
             for buf in self.bufs:
                 buf.close()
+
+    def _run_zero_copy(self, t0: float, realtime: bool):
+        """Single-ring hot loop: reserve slot -> source writes it -> commit.
+        Same drop/backpressure/run_time semantics as the copy loop."""
+        buf, src = self.bufs[0], self.source
+        while not self._stop.is_set():
+            if not realtime:
+                while buf.full() and not self._stop.is_set():
+                    time.sleep(0.002)
+                if self._stop.is_set():
+                    return
+            view = buf.reserve(timeout=self.put_timeout)  # raises on
+            if view is None:                              # realtime overrun
+                continue        # drop-policy timeout: counted, try again
+            if not src.read_block_into(view, self.num_samp):
+                logger.info("Source exhausted; feeder stopping.")
+                return
+            buf.commit(seq=self.blocks_fed)
+            self.blocks_fed += 1
+            if time.time() - t0 > self.run_time:
+                return
 
 
 class BlockAligner:

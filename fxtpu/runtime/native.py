@@ -61,6 +61,12 @@ def _load():
                                     ctypes.POINTER(ctypes.c_int64),
                                     ctypes.c_double]
             lib.rb_release.argtypes = [ctypes.c_void_p]
+            if hasattr(lib, "rb_reserve"):
+                lib.rb_reserve.restype = ctypes.c_int
+                lib.rb_reserve.argtypes = [ctypes.c_void_p,
+                                           ctypes.POINTER(ctypes.c_void_p),
+                                           ctypes.c_double]
+                lib.rb_commit.argtypes = [ctypes.c_void_p, ctypes.c_int64]
             if hasattr(lib, "fx_quant_c64_i8"):   # older .so: ring only
                 P, I64, F32 = ctypes.c_void_p, ctypes.c_int64, ctypes.c_float
                 lib.fx_quant_c64_i8.argtypes = [P, P, I64, F32]
@@ -90,18 +96,26 @@ def _ptr(a: np.ndarray) -> ctypes.c_void_p:
 # replaces and falls back to it when the library is missing or the input
 # layout disqualifies the flat native loop.
 
-def quantize_c64(block: np.ndarray, quant_step: float) -> np.ndarray:
+def quantize_c64(block: np.ndarray, quant_step: float,
+                 out: Optional[np.ndarray] = None) -> np.ndarray:
     """complex64 ``[..., n]`` -> int8 ``[..., n, 2]``, round(x/step)
     clipped to [-127, 127] (the QuantizedSource._quantize contract).
-    Native: one pass at ~2 GS/s vs numpy's ~0.24 GS/s ufunc chain."""
+    Native: one pass at ~2 GS/s vs numpy's ~0.24 GS/s ufunc chain.
+    ``out`` (int8, ``block.shape + (2,)``, contiguous) lets the caller
+    quantize straight into a ring slot (zero-copy producer path)."""
     lib = _dataplane()
     if (lib is not None and block.dtype == np.complex64
             and block.flags.c_contiguous):
-        out = np.empty((*block.shape, 2), np.int8)
+        if out is None:
+            out = np.empty((*block.shape, 2), np.int8)
+        else:
+            assert out.dtype == np.int8 and out.flags.c_contiguous \
+                and out.shape == (*block.shape, 2), (out.shape, block.shape)
         lib.fx_quant_c64_i8(_ptr(block), _ptr(out), block.size,
                             1.0 / float(quant_step))
         return out
-    q = np.empty((*block.shape, 2), dtype=np.int8)
+    q = out if out is not None \
+        else np.empty((*block.shape, 2), dtype=np.int8)
     inv = 1.0 / quant_step
     np.clip(np.rint(block.real * inv), -127, 127, out=q[..., 0],
             casting="unsafe")
@@ -229,6 +243,44 @@ class NativeRingBuffer:
                     f"native ring buffer full for {timeout} s "
                     f"({self.drops} drops so far)")
             return -1
+        self._next_seq = seq + 1
+        return seq
+
+    @property
+    def can_reserve(self) -> bool:
+        """True when the loaded .so exports the zero-copy producer API
+        (rb_reserve/rb_commit) — the Feeder gates its zero-copy loop on
+        this, never on hasattr(ring, 'reserve') (always true here)."""
+        return hasattr(self._lib, "rb_reserve")
+
+    def reserve(self, timeout: Optional[float] = None
+                ) -> Optional[np.ndarray]:
+        """Zero-copy producer slot: the returned view IS ring memory — the
+        source's read (or the native quantizer) writes the block directly
+        into it, deleting put()'s staging memcpy.  Publish with
+        :meth:`commit`; an uncommitted reservation is simply abandoned.
+        Same timeout semantics as put() (raise/drop policy, drop counted)."""
+        if not self.can_reserve:
+            return None
+        ptr = ctypes.c_void_p()
+        rc = self._lib.rb_reserve(
+            self._rb, ctypes.byref(ptr),
+            0.0 if timeout is None else float(timeout))
+        if rc == -2:
+            raise BufferClosed("reserve on closed ring buffer")
+        if rc == -1:
+            if self.policy == "raise":
+                raise BufferFull(
+                    f"native ring buffer full for {timeout} s "
+                    f"({self.drops} drops so far)")
+            return None
+        buf = (ctypes.c_char * self.block_bytes).from_address(ptr.value)
+        return np.frombuffer(buf, dtype=self.dtype).reshape(self.block_shape)
+
+    def commit(self, seq: Optional[int] = None) -> int:
+        if seq is None:
+            seq = self._next_seq
+        self._lib.rb_commit(self._rb, seq)
         self._next_seq = seq + 1
         return seq
 

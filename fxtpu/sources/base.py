@@ -163,6 +163,23 @@ class QuantizedSource(Source):
             return None
         return self._quantize(block, self.quant_step)
 
+    def read_block_into(self, out: np.ndarray, num_samp: int) -> bool:
+        """Zero-copy-producer read: quantize the wrapped single-channel
+        source's next block DIRECTLY into ``out`` (an int8 ``[num_samp, 2]``
+        ring slot view) — the int8 staging array and its put memcpy
+        disappear.  False = inner source exhausted."""
+        if self.nchan != 1:
+            raise ValueError("read_block_into requires a 1-channel source")
+        block = self.inner.read_block(num_samp)
+        if block is None:
+            return False
+        from fxtpu.runtime.native import quantize_c64
+        quantize_c64(
+            np.ascontiguousarray(block.reshape(num_samp),
+                                 dtype=np.complex64),
+            self.quant_step, out=out)
+        return True
+
     def read_block_span(self, num_samp: int, start: int, stop: int):
         block = self.inner.read_block_span(num_samp, start, stop)
         if block is None:

@@ -83,6 +83,24 @@ class ReplaySource(Source):
         self._pos += num_samp
         return np.ascontiguousarray(block)
 
+    def read_block_into(self, out: np.ndarray, num_samp: int) -> bool:
+        """Zero-copy-producer read: copy the next block of a SINGLE-channel
+        replay straight into ``out`` (a ring slot view, shape
+        ``[num_samp]``) — one pass instead of read_block's
+        ascontiguousarray staging copy + put memcpy.  False = exhausted."""
+        if self.nchan != 1:
+            raise ValueError("read_block_into requires a 1-channel source")
+        n = self._data.shape[1]
+        if self._pos + num_samp > n:
+            if not self.loop:
+                return False
+            self._pos = 0
+            if num_samp > n:
+                raise ValueError("block longer than recording")
+        np.copyto(out, self._data[0, self._pos: self._pos + num_samp])
+        self._pos += num_samp
+        return True
+
     def read_block_span(self, num_samp: int, start: int,
                         stop: int) -> Optional[np.ndarray]:
         """Random-access span read: materializes only [start, stop) of the

@@ -111,6 +111,38 @@ int rb_put(RingBuffer* rb, const void* data, int64_t nbytes, int64_t seq,
     return 0;
 }
 
+// Zero-copy producer: wait for a free slot and return its pointer — the
+// source's read (or the native quantizer) then writes the block DIRECTLY
+// into ring memory, deleting the staging copy rb_put would do.  The slot
+// is invisible to the consumer until rb_commit publishes it.  SPSC: only
+// the single producer thread may call reserve/commit (and must not
+// interleave rb_put between them).  Returns 0 ok, -1 timeout (counted as
+// a drop), -2 closed.
+int rb_reserve(RingBuffer* rb, void** data, double timeout_s) {
+    if (rb->closed.load(std::memory_order_acquire)) return -2;
+    const double deadline = now_s() + timeout_s;
+    int spins = 0;
+    while (rb_size(rb) >= rb->capacity) {
+        if (rb->closed.load(std::memory_order_acquire)) return -2;
+        if (now_s() > deadline) {
+            rb->drops.fetch_add(1);
+            return -1;
+        }
+        backoff(spins);
+    }
+    const int64_t h = rb->head.load(std::memory_order_relaxed);
+    *data = rb->slots + (h % rb->capacity) * rb->block_bytes;
+    return 0;
+}
+
+// Publish the slot returned by the last rb_reserve under ``seq``.
+void rb_commit(RingBuffer* rb, int64_t seq) {
+    const int64_t h = rb->head.load(std::memory_order_relaxed);
+    rb->seqs[h % rb->capacity] = seq;
+    rb->total_put.fetch_add(1);
+    rb->head.store(h + 1, std::memory_order_release);
+}
+
 // Zero-copy consumer view of the oldest block.  On success returns 0 and
 // sets *data/*seq; the slot stays owned by the consumer until
 // rb_release().  Returns -1 on timeout, -2 closed-and-drained.

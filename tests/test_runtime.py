@@ -219,6 +219,82 @@ class TestNativeRing:
         rb.release()
         assert rb.qsize() == 0
 
+    def test_reserve_commit_matches_put(self):
+        """Zero-copy producer: writing the reserved slot then committing is
+        observably identical to put() (same data, same seq ordering)."""
+        rb = native.NativeRingBuffer(4, (16,))
+        if not rb.can_reserve:
+            pytest.skip("libfxring.so lacks rb_reserve (rebuild native)")
+        for i in range(3):
+            view = rb.reserve(timeout=0.5)
+            view[:] = np.arange(16, dtype=np.complex64) + i
+            rb.commit()
+        for i in range(3):
+            seq, blk = rb.get(timeout=0.5)
+            assert seq == i
+            np.testing.assert_array_equal(
+                blk, np.arange(16, dtype=np.complex64) + i)
+        rb.close()
+
+    def test_reserve_timeout_policies(self):
+        from fxtpu.runtime import BufferFull
+        rb = native.NativeRingBuffer(1, (4,), policy="drop")
+        if not rb.can_reserve:
+            pytest.skip("libfxring.so lacks rb_reserve (rebuild native)")
+        rb.reserve(timeout=0.5)[:] = 1
+        rb.commit()
+        assert rb.reserve(timeout=0.02) is None   # full: drop policy
+        assert rb.drops == 1
+        rb2 = native.NativeRingBuffer(1, (4,), policy="raise")
+        rb2.reserve(timeout=0.5)[:] = 1
+        rb2.commit()
+        with pytest.raises(BufferFull):
+            rb2.reserve(timeout=0.02)
+        rb.close(); rb2.close()
+
+    def test_feeder_zero_copy_single_channel_replay(self, tmp_path):
+        """A 1-channel source + 1 native ring activates the reserve/commit
+        producer (the per-channel parallel-feeder configuration); the
+        streamed data must equal the recording, in order."""
+        from fxtpu.sources import save_recording
+        from fxtpu.sources.replay import ReplaySource
+        rec = save_recording(NoiseSource(nchan=2, seed=3),
+                             str(tmp_path / "r.npy"), 256, 4)
+        src = ReplaySource(rec).select_channels([1])
+        want = src._data.copy()
+        buf = native.NativeRingBuffer(8, (256,))
+        if not buf.can_reserve:
+            pytest.skip("libfxring.so lacks rb_reserve (rebuild native)")
+        f = Feeder(src, [buf], 256, run_time=10.0).start()
+        got = []
+        while True:
+            item = buf.get(timeout=1.0)
+            if item is None:
+                break
+            got.append(item[1])
+        f.join(2.0)
+        assert len(got) == 4  # non-loop replay: exactly the recording
+        np.testing.assert_array_equal(np.concatenate(got), want[0])
+
+    def test_feeder_zero_copy_int8_quantized(self, tmp_path):
+        """QuantizedSource.read_block_into quantizes straight into the int8
+        ring slot; consumed blocks match the copy-path quantization."""
+        from fxtpu.sources import save_recording
+        from fxtpu.sources.base import QuantizedSource
+        from fxtpu.sources.replay import ReplaySource
+        rec = save_recording(NoiseSource(nchan=1, seed=9),
+                             str(tmp_path / "r.npy"), 128, 2)
+        src = QuantizedSource(ReplaySource(rec))
+        want = QuantizedSource(ReplaySource(rec)).read_block(128)
+        buf = native.NativeRingBuffer(8, (128, 2), dtype=np.int8)
+        if not buf.can_reserve:
+            pytest.skip("libfxring.so lacks rb_reserve (rebuild native)")
+        f = Feeder(src, [buf], 128).start()
+        seq, blk = buf.get(timeout=1.0)
+        f.join(2.0)
+        assert seq == 0 and blk.dtype == np.int8
+        np.testing.assert_array_equal(blk, want[0])
+
     def test_feeder_end_to_end_with_native_rings(self):
         src = NoiseSource(nchan=2, seed=6)
         bufs = [native.NativeRingBuffer(32, (1024,)) for _ in range(2)]
@@ -310,6 +386,18 @@ class TestNativeDataplane:
         qh = native.quantize_c64(hot, 1.0 / 32)
         assert np.all(qh == 127)
         assert np.all(native.quantize_c64(-hot, 1.0 / 32) == -127)
+
+    def test_quantize_c64_into_out_matches_alloc(self):
+        """The out= form (zero-copy producer: quantize straight into a ring
+        slot) produces byte-identical results to the allocating form, on
+        both the native and numpy-fallback branches."""
+        rng = np.random.default_rng(11)
+        block = self._block((513,), rng) * 2.0
+        want = native.quantize_c64(block, 1.0 / 32)
+        out = np.empty((513, 2), np.int8)
+        got = native.quantize_c64(block, 1.0 / 32, out=out)
+        assert got is out
+        np.testing.assert_array_equal(got, want)
 
     def test_split_planes_match(self):
         rng = np.random.default_rng(8)
