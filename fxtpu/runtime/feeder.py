@@ -59,6 +59,10 @@ class Feeder:
         #: then hold local-span blocks for make_array_from_process_local_data.
         self.sample_span = sample_span
         self.blocks_fed = 0
+        #: True once _run selected the reserve/commit producer loop —
+        #: lets tests and the pipeline bench assert the zero-copy path is
+        #: actually active instead of silently falling back to put().
+        self.zero_copy = False
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
 
@@ -101,6 +105,7 @@ class Feeder:
                     and getattr(self.bufs[0], "can_reserve", False)
                     and hasattr(self.source, "read_block_into")
                     and getattr(self.source, "nchan", 0) == 1):
+                self.zero_copy = True
                 self._run_zero_copy(t0, realtime)
                 logger.info("Buffering ended at %s",
                             time.strftime("%a, %d %b %Y %H:%M:%S"))

@@ -273,6 +273,7 @@ class TestNativeRing:
                 break
             got.append(item[1])
         f.join(2.0)
+        assert f.zero_copy, "reserve/commit producer loop did not activate"
         assert len(got) == 4  # non-loop replay: exactly the recording
         np.testing.assert_array_equal(np.concatenate(got), want[0])
 
@@ -292,6 +293,7 @@ class TestNativeRing:
         f = Feeder(src, [buf], 128).start()
         seq, blk = buf.get(timeout=1.0)
         f.join(2.0)
+        assert f.zero_copy, "reserve/commit producer loop did not activate"
         assert seq == 0 and blk.dtype == np.int8
         np.testing.assert_array_equal(blk, want[0])
 
