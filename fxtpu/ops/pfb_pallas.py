@@ -436,7 +436,20 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                nbuf: int = 2, split_dma: bool = False):
     """Grid (K, n_tiles), sequential.  Per program: DMA one slab of PFB
     rows (double-buffered, prefetching the NEXT program's slab), FIR,
-    transpose-free 2-stage split-bf16 FFT, and accumulate per block:
+    transpose-free 2-stage split-bf16 FFT, and accumulate per block.
+
+    Input layout: the x planes arrive MERGED over blocks —
+    ``[nch, k_blocks * s_rows, lanes]`` — so every tile (including each
+    block's first) is ONE uniform contiguous async copy per plane
+    spanning ``pad + tile`` rows: block k's halo rows ARE the preceding
+    rows of the merged stream (measured on v5e: the per-(k, tile)
+    strided descriptors of the old ``[K, nch, S, L]`` layout ran the
+    input DMA ~4x under the contiguous-copy rate).  Only the global
+    first tile (g == 0) differs: its front comes from the stream
+    history.  The slab is ``[slot, plane, ch, rows, lanes]`` — plane
+    outermost keeps each copy's DESTINATION contiguous too.
+
+    Per block the kernel accumulates:
 
       * raw cross power per baseline           (out_ref  [1, nbl, 2, n1, n2])
       * per-channel spectral sums over frames  (tout_ref [1, nch, 2, n1, n2])
@@ -490,85 +503,70 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
     halo = ntaps - 1
     pad = _halo_pad(ntaps)
     buf = jax.lax.rem(g, nbuf)
+    s_rows = n_tiles * tile
 
-    def full_copies(kk, tt, slot):
-        # rows [tt*tile - pad, tt*tile + tile) of block kk -> whole slab
-        # (the two planes arrive as separate arrays: no host-side stack,
-        # which would cost a full HBM round trip of the input).
-        # split_dma issues one DMA per (channel, plane) instead of per
-        # plane: more descriptors in flight for shapes where a single
-        # stream can't reach HBM bandwidth.
-        start = pl.multiple_of(tt * tile - pad, 8)
+    def tile_copies(kk, tt, slot):
+        # rows [kk*s_rows + tt*tile - pad, +(pad+tile)) of the MERGED
+        # [nch, K*S, lanes] stream -> the whole slab slot: one contiguous
+        # copy per plane, halo included (a block's halo rows are simply
+        # the preceding merged rows — the previous block's raw tail at
+        # tt == 0).  Valid for every g > 0 (tile >= pad guarantees a
+        # non-negative start); g == 0's front comes from hist instead.
+        # split_dma issues one DMA per (channel, plane): more descriptors
+        # in flight for shapes where one stream can't reach HBM bandwidth.
+        start = pl.multiple_of(kk * s_rows + tt * tile - pad, 8)
         if split_dma:
             return [
                 pltpu.make_async_copy(
                     (xre_ref if p == 0 else xim_ref
-                     ).at[kk, c, pl.ds(start, pad + tile)],
-                    slab.at[slot, c, p], sems.at[slot, 2 * c + p])
+                     ).at[c, pl.ds(start, pad + tile)],
+                    slab.at[slot, p, c], sems.at[slot, 2 * c + p])
                 for c in range(nch) for p in range(2)
             ]
         return [
             pltpu.make_async_copy(
-                xre_ref.at[kk, :, pl.ds(start, pad + tile)],
-                slab.at[slot, :, 0], sems.at[slot, 0]),
+                xre_ref.at[:, pl.ds(start, pad + tile)],
+                slab.at[slot, 0], sems.at[slot, 0]),
             pltpu.make_async_copy(
-                xim_ref.at[kk, :, pl.ds(start, pad + tile)],
-                slab.at[slot, :, 1], sems.at[slot, 1]),
+                xim_ref.at[:, pl.ds(start, pad + tile)],
+                slab.at[slot, 1], sems.at[slot, 1]),
         ]
 
-    s_total = n_tiles * tile
-
-    def head_copies(kk, slot, front=True):
-        # rows [0, tile) of block kk -> slab data region.  Slab front:
-        # f32 mode fills it from hist_s in-program; int8 mode DMAs block
-        # kk-1's RAW tail rows straight from HBM (kk >= 1 whenever
-        # front=True — the kk==0 front comes from hist_ref at g==0).
+    def g0_data_copies(slot):
+        # global first tile: rows [0, tile) -> slab data region only (the
+        # front pad rows come from the stream history)
         if split_dma:
-            cps = [
+            return [
                 pltpu.make_async_copy(
-                    (xre_ref if p == 0 else xim_ref
-                     ).at[kk, c, pl.ds(0, tile)],
-                    slab.at[slot, c, p, pl.ds(pad, tile)],
+                    (xre_ref if p == 0 else xim_ref).at[c, pl.ds(0, tile)],
+                    slab.at[slot, p, c, pl.ds(pad, tile)],
                     sems.at[slot, 2 * c + p])
                 for c in range(nch) for p in range(2)
             ]
-        else:
-            cps = [
-                pltpu.make_async_copy(
-                    xre_ref.at[kk, :, pl.ds(0, tile)],
-                    slab.at[slot, :, 0, pl.ds(pad, tile)], sems.at[slot, 0]),
-                pltpu.make_async_copy(
-                    xim_ref.at[kk, :, pl.ds(0, tile)],
-                    slab.at[slot, :, 1, pl.ds(pad, tile)], sems.at[slot, 1]),
-            ]
-        if int8_in and front:
-            start = pl.multiple_of(s_total - pad, 8)
-            fs = 2 * nch if split_dma else 2
-            cps += [
-                pltpu.make_async_copy(
-                    xre_ref.at[kk - 1, :, pl.ds(start, pad)],
-                    slab.at[slot, :, 0, pl.ds(0, pad)],
-                    sems.at[slot, fs]),
-                pltpu.make_async_copy(
-                    xim_ref.at[kk - 1, :, pl.ds(start, pad)],
-                    slab.at[slot, :, 1, pl.ds(0, pad)],
-                    sems.at[slot, fs + 1]),
-            ]
-        return cps
+        return [
+            pltpu.make_async_copy(
+                xre_ref.at[:, pl.ds(0, tile)],
+                slab.at[slot, 0, :, pl.ds(pad, tile)], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                xim_ref.at[:, pl.ds(0, tile)],
+                slab.at[slot, 1, :, pl.ds(pad, tile)], sems.at[slot, 1]),
+        ]
 
     # ---- DMA: wait for this program's slab; prefetch the next one --------
     @pl.when(g == 0)
     def _():
         if int8_in:
-            # stream history: raw int8 tail straight into the slab front
+            # stream history: raw packed tail straight into the slab front
+            # (hist arrives [2, nch, pad, lanes] — plane-outermost, same
+            # as the slab)
             cph = pltpu.make_async_copy(hist_ref, slab.at[0, :, :, :pad],
-                                        sems.at[0, 2 * nch if split_dma
-                                                else 2])
+                                        sems.at[0, 2 * nch])
         else:
-            cph = pltpu.make_async_copy(hist_ref, hist_s, sems.at[0, 0])
+            cph = pltpu.make_async_copy(hist_ref, hist_s,
+                                        sems.at[0, 2 * nch])
         cph.start()
         cph.wait()
-        for cp in head_copies(0, 0, front=False):
+        for cp in g0_data_copies(0):
             cp.start()
         # warm the pipeline: with nbuf slabs, tiles 1..nbuf-2 start now
         # so that nbuf-1 transfers are always in flight (one DMA stream
@@ -576,48 +574,39 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
         for d in range(1, nbuf - 1):
             if d >= total:
                 break
-            kd, td = d // n_tiles, d % n_tiles
-            for cp in (head_copies(kd, d % nbuf) if td == 0
-                       else full_copies(kd, td, d % nbuf)):
+            for cp in tile_copies(d // n_tiles, d % n_tiles, d % nbuf):
                 cp.start()
-        for cp in head_copies(0, 0, front=False):
+        for cp in g0_data_copies(0):
             cp.wait()
 
-    if n_tiles > 1:
-        @pl.when((g > 0) & (t != 0))
+    # total == 1 (one block, one tile): only g == 0 exists — tile_copies
+    # must not even be TRACED (its pad+tile-row slice exceeds the whole
+    # rows_total == tile input)
+    if total > 1:
+        @pl.when(g > 0)
         def _():
-            for cp in full_copies(k, t, buf):
+            for cp in tile_copies(k, t, buf):
                 cp.wait()
 
-    @pl.when((g > 0) & (t == 0))
-    def _():
-        for cp in head_copies(k, buf):
-            cp.wait()
+        la = nbuf - 1                   # lookahead distance
+        nxt = jax.lax.rem(g + la, nbuf)
+        nk = k + (t + la) // n_tiles
+        nt = jax.lax.rem(t + la, n_tiles)
 
-    la = nbuf - 1                       # lookahead distance
-    nxt = jax.lax.rem(g + la, nbuf)
-    nk = k + (t + la) // n_tiles
-    nt = jax.lax.rem(t + la, n_tiles)
-
-    if n_tiles > 1:
-        @pl.when((g + la < total) & (nt != 0))
+        @pl.when(g + la < total)
         def _():
-            for cp in full_copies(nk, nt, nxt):
+            for cp in tile_copies(nk, nt, nxt):
                 cp.start()
 
-    @pl.when((g + la < total) & (nt == 0))
-    def _():
-        for cp in head_copies(nk, nxt):
-            cp.start()
-
     # ---- t == 0: slab front <- carried history (f32 corrected-tail mode;
-    # int8 mode DMA'd the raw front already) -------------------------------
+    # int8 mode's raw front rows arrived with the uniform copy — at k > 0
+    # they ARE the previous block's raw tail, the int8 history contract)
     if not int8_in:
         @pl.when(t == 0)
         def _():
             for c in range(nch):
-                slab[buf, c, 0, :pad] = hist_s[c, 0]
-                slab[buf, c, 1, :pad] = hist_s[c, 1]
+                slab[buf, 0, c, :pad] = hist_s[c, 0]
+                slab[buf, 1, c, :pad] = hist_s[c, 1]
 
     # ---- FIR + FFT per channel (raw — DC handled post-hoc) ----------------
     off = pad - halo
@@ -628,7 +617,7 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
     for c in range(nch):
         if int8_in and _abl == "dma0":
             # raw packed-DMA floor: touch the slab words, skip the unpack
-            q = slab[buf, c, 0][:tile].astype(jnp.float32)
+            q = slab[buf, 0, c][:tile].astype(jnp.float32)
             qr = q.reshape(tile, n1 // 4, n2)
             z = jnp.zeros((tile, n1 - n1 // 4, n2), jnp.float32)
             spec.append((jnp.concatenate([qr, z], axis=1),
@@ -639,11 +628,11 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
             # bf16 holds int8 exactly, which the SVD conv consumes
             # directly; the direct tap loop wants f32 operands.
             udt = jnp.bfloat16 if svd_r else jnp.float32
-            plane_re = _unpack_i8(slab[buf, c, 0], udt)
-            plane_im = _unpack_i8(slab[buf, c, 1], udt)
+            plane_re = _unpack_i8(slab[buf, 0, c], udt)
+            plane_im = _unpack_i8(slab[buf, 1, c], udt)
         else:
-            plane_re = slab[buf, c, 0]
-            plane_im = slab[buf, c, 1]
+            plane_re = slab[buf, 0, c]
+            plane_im = slab[buf, 1, c]
         # raw sample sums over THIS tile's own data rows only
         sr = jnp.sum(plane_re[pad:].astype(jnp.float32))
         si = jnp.sum(plane_im[pad:].astype(jnp.float32))
@@ -806,9 +795,9 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                 mu_im = jnp.sum(jnp.where(lane2 == 2 * c + 1,
                                           sums_s[...], 0.0)) * inv_n
                 hist_s[c, 0, pad - halo:] = (
-                    slab[buf, c, 0, pad + tile - halo:] - mu_re)
+                    slab[buf, 0, c, pad + tile - halo:] - mu_re)
                 hist_s[c, 1, pad - halo:] = (
-                    slab[buf, c, 1, pad + tile - halo:] - mu_im)
+                    slab[buf, 1, c, pad + tile - halo:] - mu_im)
 
         @pl.when((k == k_blocks - 1) & (t == n_tiles - 1))
         def _():
@@ -839,10 +828,12 @@ def _default_nbuf(nbins: int, int8_in: bool) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nbins", "tile", "pairs_t", "w_key",
-                                    "quant_step"))
+                   static_argnames=("nbins", "tile", "k_blocks", "pairs_t",
+                                    "w_key", "quant_step"))
 def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
-             pairs_t, w_key=None, quant_step: float = 1.0):
+             k_blocks: int, pairs_t, w_key=None, quant_step: float = 1.0):
+    """x_re/x_im arrive MERGED over blocks: [nch, k_blocks*s_rows, lanes]
+    (see _fx_kernel's layout note; fx_pallas_parts does the relayout)."""
     interpret = jax.default_backend() != "tpu"
     if x_re.dtype == jnp.int8:
         raise ValueError(
@@ -850,7 +841,8 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
             "(4 bins each) — see pack_int8_planes; raw int8 DMA runs at "
             "1/4 the element rate on this hardware")
     int8_in = x_re.dtype == jnp.int32
-    k_blocks, nch, s_rows, _ = x_re.shape
+    nch, rows_total, _ = x_re.shape
+    s_rows = rows_total // k_blocks
     ntaps = w2d.shape[0]
     halo = ntaps - 1
     n1, n2 = _kernel_factor(nbins)
@@ -967,7 +959,7 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
             jax.ShapeDtypeStruct(hist_shape, jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, nch, 2, tile + _halo_pad(ntaps), nb_lanes),
+            pltpu.VMEM((nbuf, 2, nch, tile + _halo_pad(ntaps), nb_lanes),
                        slab_dtype),
             pltpu.VMEM(hist_shape, jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
@@ -1139,17 +1131,28 @@ def fx_pallas_parts(x: Cplx, w2d, nbins: int, history: Cplx, pairs,
             f"(2 lanes per channel in the sample-sum accumulator), got {nch}")
     pad = _halo_pad(ntaps)
     hist_dtype = jnp.int32 if int8_in else jnp.float32
-    hist = jnp.stack([history.re, history.im], axis=1).astype(hist_dtype)
+    # int8 mode's stream history DMAs straight into the slab front, so it
+    # travels plane-outermost ([2, nch, pad, lanes]) to match the slab;
+    # f32 mode's lands in hist_s, which keeps the [nch, 2, pad, nbins]
+    # layout the in-kernel fill/tail-save index.
+    hist = jnp.stack([history.re, history.im],
+                     axis=0 if int8_in else 1).astype(hist_dtype)
     hist = jnp.pad(hist, ((0, 0), (0, 0), (pad - halo, 0), (0, 0)))
     pairs_t = tuple((int(p), int(q)) for p, q in np.asarray(pairs))
     w_key = tuple(np.asarray(w2d, np.float64).ravel())
     if not int8_in:
         rows_re = rows_re.astype(jnp.float32)
         rows_im = rows_im.astype(jnp.float32)
+    # merged-rows relayout [K, nch, S, L] -> [nch, K*S, L] (free bitcast
+    # at K=1 — the streaming Correlator step; one XLA transpose for
+    # multi-block dispatches, repaid ~20x by the uniform contiguous DMA)
+    lanes = rows_re.shape[-1]
+    rows_re = rows_re.transpose(1, 0, 2, 3).reshape(nch, -1, lanes)
+    rows_im = rows_im.transpose(1, 0, 2, 3).reshape(nch, -1, lanes)
     out, tsum, ufr, ssum, hist_out = _fx_call(
         rows_re, rows_im, hist,
-        jnp.asarray(w2d, jnp.float32), nbins, tile, pairs_t, w_key=w_key,
-        quant_step=quant_step if int8_in else 1.0)
+        jnp.asarray(w2d, jnp.float32), nbins, tile, k_blocks, pairs_t,
+        w_key=w_key, quant_step=quant_step if int8_in else 1.0)
     inv = jnp.asarray(_fx_perm(nbins))
     nbl = out.shape[1]
 
