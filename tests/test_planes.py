@@ -591,6 +591,16 @@ class TestInt8NativeDirect(TestInt8NativeFused):
     NS, NBINS, NTAPS = 2**13, 256, 4
 
 
+class TestInt8NativeDeepMultiTile(TestInt8NativeFused):
+    """Deep-tap SVD conv with BOTH multiple tiles per block and multiple
+    blocks per dispatch (s_rows = 128, tile = 2*pad = 64 -> n_tiles = 2):
+    exercises the merged-rows layout's full copy grid — in-block tile
+    halos AND cross-block halos all read from one [nch, K*S, lanes]
+    stream (ops/pfb_pallas._fx_kernel tile_copies)."""
+
+    NS, NBINS, NTAPS = 2**15, 256, 32
+
+
 @pytest.mark.parametrize("nbuf,split", [(3, "0"), (4, "1")])
 def test_fused_deep_dma_pipeline_matches_unfused(monkeypatch, nbuf, split):
     """FXTPU_FUSED_NBUF > 2 (slab ring with nbuf-1 DMAs in flight) and
