@@ -99,22 +99,20 @@ def bench(block_pow: int = 21, nbins: int = 4096, nchan: int = 2,
     k = max(1, blocks_per_call)
     if ingest == "int8":
         # production radio samples: 8-bit quantized IQ planes
-        blocks = [eng.prepare_block(
-            rng.integers(-127, 128, size=(nchan, num_samp, 2)
-                         ).astype(np.int8)) for _ in range(k)]
+        raw = [rng.integers(-127, 128, size=(nchan, num_samp, 2)
+                            ).astype(np.int8) for _ in range(k)]
     else:
-        blocks = [eng.prepare_block(
-            (rng.normal(size=(nchan, num_samp)).astype(np.float32)
-             + 1j * rng.normal(size=(nchan, num_samp)).astype(np.float32)))
-            for _ in range(k)]
+        raw = [(rng.normal(size=(nchan, num_samp)).astype(np.float32)
+                + 1j * rng.normal(size=(nchan, num_samp))
+                .astype(np.float32)) for _ in range(k)]
     history = eng.fresh_history()
 
     if k == 1:
-        step, iq = eng.step, blocks[0]
+        step, iq = eng.step, eng.prepare_block(raw[0])
         delays = jnp.zeros((nchan,), jnp.float32)
     else:
         step = eng.multi_step
-        iq = tree.map(lambda *xs: jnp.stack(xs), *blocks)
+        iq = eng.prepare_batch(raw)
         delays = jnp.zeros((k, nchan), jnp.float32)
 
     def sync(x):
@@ -196,7 +194,7 @@ def bench_pipeline(block_pow: int = 21, nbins: int = 4096, nchan: int = 2,
         else:
             arr = np.zeros((k, nchan, num_samp), np.complex64)
         hist = eng.fresh_history()
-        _, hist2 = eng.multi_step(eng.prepare_block(arr),
+        _, hist2 = eng.multi_step(eng.prepare_batch(arr),
                                   jnp.zeros((k, nchan), jnp.float32), hist)
         _, _ = eng.step(eng.prepare_block(arr[0]),
                         jnp.zeros((nchan,), jnp.float32), hist)

@@ -592,8 +592,7 @@ class Correlator:
         # only the full batch uses the scanned dispatch (each distinct scan
         # length is a separate compile); remainders take single steps
         if k == self._dispatch_batch and k > 1:
-            self._dispatch_multi(self.engine.prepare_block(np.stack(blocks)),
-                                 k)
+            self._dispatch_multi(self.engine.prepare_batch(blocks), k)
             return
         for b in blocks:
             if self.mode == "TEST":
@@ -633,6 +632,7 @@ class Correlator:
             self.aligner, self.engine.prepare_block,
             batch=self._dispatch_batch, exc_queue=self.exc_queue,
             feeding=lambda: self.feeder is not None and self.feeder.alive,
+            prepare_batch=self.engine.prepare_batch,
         ).start()
         self.logger.debug("Started device stager (batch=%d).",
                           self._dispatch_batch)

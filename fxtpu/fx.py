@@ -302,12 +302,16 @@ def make_fx_multi_step(*, mode: str, nbins: int, window2d: np.ndarray,
 
         @jax.jit
         def multi_fused(iq: Cplx, delays, history):
+            # iq arrives MERGED [nch, K, S, lanes] (FxEngine.prepare_batch)
+            # — the fused kernel's native layout, so the dispatch pays no
+            # device transpose on its way in
             from fxtpu.ops.pfb_pallas import fx_pallas_raw_multi
             if not isinstance(history, dict):
                 iq = _dequant(iq, quant_step)
             xp, new_hist = fx_pallas_raw_multi(iq, w2d, nbins, history,
                                                pairs_np,
-                                               quant_step=quant_step)
+                                               quant_step=quant_step,
+                                               merged=True)
             vis = _finish_fused(xp, delays, pairs_np, nbins, s_rows,
                                 bandwidth, frequency, continuum)
             return vis, new_hist
@@ -543,6 +547,39 @@ class FxEngine:
                     *block.shape[:-1], s, self.cfg.nbins)
             return from_complex(block)
         return jnp.asarray(block)
+
+    def prepare_batch(self, blocks):
+        """K host blocks -> the input for ONE :meth:`multi_step` dispatch.
+
+        ``blocks``: a sequence of per-block host arrays ``[nch, num_samp]``
+        complex64 (or int8 ``[nch, num_samp, 2]``), or an already-stacked
+        ``[K, nch, ...]`` array.
+
+        Fused planes engines stage the MERGED layout ``[nch, K, S, lanes]``
+        — the fused kernel's native form (ops/pfb_pallas._fx_kernel): the
+        host merge costs the same bytes the old ``[K, nch, ...]`` stack
+        did, and the dispatch skips the device transpose fx_pallas_parts
+        otherwise pays (one full HBM round trip of the batch).  Every
+        other engine returns ``prepare_block(np.stack(blocks))`` —
+        whichever form comes back, feed it to ``multi_step`` as-is."""
+        blocks = list(blocks)
+        if not (self.impl == "planes" and self.mesh is None
+                and self.fused_active):
+            return self.prepare_block(np.stack(blocks))
+        arr = np.stack(blocks, axis=1)   # [nch, K, num_samp(, 2)]
+        nbins = self.cfg.nbins
+        if arr.dtype == np.int8 and arr.shape[-1] == 2:
+            # fused + int8 ingest is always int8-NATIVE: packed words
+            from fxtpu.runtime.native import pack_planes_i8
+            re, im = pack_planes_i8(arr, nbins)  # [nch, K, S, nbins//4]
+            return Cplx(jnp.asarray(re), jnp.asarray(im))
+        from fxtpu.runtime.native import split_planes_c64
+        re, im = split_planes_c64(
+            np.ascontiguousarray(arr, dtype=np.complex64))
+        s = arr.shape[-1] // nbins
+        re = re[..., : s * nbins].reshape(*re.shape[:-1], s, nbins)
+        im = im[..., : s * nbins].reshape(*im.shape[:-1], s, nbins)
+        return Cplx(jnp.asarray(re), jnp.asarray(im))
 
     def example_inputs(self, seed: int = 0):
         """Representative (iq, delays, history) inputs for compile checks."""

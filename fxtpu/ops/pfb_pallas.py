@@ -1086,7 +1086,7 @@ def _dc_correct(xp: Cplx, T: Cplx, GJ: Cplx, mu: Cplx, pairs_np,
 
 
 def fx_pallas_parts(x: Cplx, w2d, nbins: int, history: Cplx, pairs,
-                    quant_step: float = 1.0):
+                    quant_step: float = 1.0, merged: bool = False):
     """Run the fused kernel and return its RAW accumulators in natural bin
     order (pre-DC-correction) — the building block shared by the
     single-device wrapper and the sharded path (which must psum the parts
@@ -1109,7 +1109,14 @@ def fx_pallas_parts(x: Cplx, w2d, nbins: int, history: Cplx, pairs,
     ntaps = int(w2d.shape[0])
     halo = ntaps - 1
     int8_in = x.re.dtype in (jnp.int8, jnp.int32)
-    if x.re.ndim == 4:
+    legacy = not merged
+    if merged:
+        # [nch, K, S, lanes] — the kernel's native layout, pre-staged
+        # host-side by FxEngine.prepare_batch: the K->rows merge below is
+        # a free reshape, no device transpose
+        nch, k_blocks, s_rows, _ = x.re.shape
+        rows_re, rows_im = x.re, x.im
+    elif x.re.ndim == 4:
         k_blocks, nch, s_rows, _ = x.re.shape
         rows_re, rows_im = x.re, x.im
     else:
@@ -1122,6 +1129,12 @@ def fx_pallas_parts(x: Cplx, w2d, nbins: int, history: Cplx, pairs,
             k_blocks, nch, s_rows, nbins)
         rows_im = x.im[..., : s_rows * nbins].reshape(
             k_blocks, nch, s_rows, nbins)
+    nch_pairs = int(np.asarray(pairs).max()) + 1
+    if nch != nch_pairs:
+        raise ValueError(
+            f"channel axis mismatch: x implies nch={nch} but pairs imply "
+            f"{nch_pairs} — merged inputs are [nch, K, S, lanes], legacy "
+            f"stacks [K, nch, ...] (a swap silently transposes the kernel)")
     tile = _pick_tile(s_rows, ntaps)
     if tile is None:
         raise ValueError(f"unsupported shape: S={s_rows}, ntaps={ntaps}")
@@ -1143,12 +1156,16 @@ def fx_pallas_parts(x: Cplx, w2d, nbins: int, history: Cplx, pairs,
     if not int8_in:
         rows_re = rows_re.astype(jnp.float32)
         rows_im = rows_im.astype(jnp.float32)
-    # merged-rows relayout [K, nch, S, L] -> [nch, K*S, L] (free bitcast
-    # at K=1 — the streaming Correlator step; one XLA transpose for
-    # multi-block dispatches, repaid ~20x by the uniform contiguous DMA)
+    # merged-rows relayout -> [nch, K*S, L].  Pre-merged inputs reshape
+    # for free; legacy [K, nch, S, L] stacks pay one XLA transpose (free
+    # bitcast at K=1 — the streaming Correlator step), repaid ~20x by the
+    # uniform contiguous DMA.
     lanes = rows_re.shape[-1]
-    rows_re = rows_re.transpose(1, 0, 2, 3).reshape(nch, -1, lanes)
-    rows_im = rows_im.transpose(1, 0, 2, 3).reshape(nch, -1, lanes)
+    if legacy:
+        rows_re = rows_re.transpose(1, 0, 2, 3)
+        rows_im = rows_im.transpose(1, 0, 2, 3)
+    rows_re = rows_re.reshape(nch, -1, lanes)
+    rows_im = rows_im.reshape(nch, -1, lanes)
     out, tsum, ufr, ssum, hist_out = _fx_call(
         rows_re, rows_im, hist,
         jnp.asarray(w2d, jnp.float32), nbins, tile, k_blocks, pairs_t,
@@ -1176,12 +1193,16 @@ def fx_pallas_parts(x: Cplx, w2d, nbins: int, history: Cplx, pairs,
 
 
 def fx_pallas_raw_multi(x: Cplx, w2d, nbins: int, history, pairs,
-                        quant_step: float = 1.0):
+                        quant_step: float = 1.0, merged: bool = False):
     """Fused DC + PFB + FFT + X for a STACK of blocks in one kernel launch:
     ``x [K, nch, nsamp]`` (or pre-framed ``[K, nch, S, nbins]`` — STRONGLY
     preferred for device inputs; a device reframe is a tiled-layout HBM
     round trip) -> (xpower [K, nbl, nbins] SUM over frames, natural bin
     order, DC-corrected, new_history).
+
+    ``merged=True``: x is the kernel-native MERGED layout
+    ``[nch, K, S, lanes]`` (FxEngine.prepare_batch) — skips the device
+    transpose the [K, nch, ...] stack pays on its way into the kernel.
 
     The DC-spike removal is applied POST-HOC from accumulators the kernel
     gathers in its single pass (see _fx_kernel/_dc_correct), so the input
@@ -1205,12 +1226,14 @@ def fx_pallas_raw_multi(x: Cplx, w2d, nbins: int, history, pairs,
                            else x.re.shape[-1] // nbins)
     if not int8_native:
         xp, T, U, mu, tail, s_rows = fx_pallas_parts(x, w2d, nbins,
-                                                     history, pairs)
+                                                     history, pairs,
+                                                     merged=merged)
         xp = _dc_correct(xp, T, U, mu, pairs_np, consts, s_rows)
         return xp, tail  # tail already DC-corrected in-kernel
 
     xp, T, U, mu_q, _, s_rows = fx_pallas_parts(
-        x, w2d, nbins, history["tail"], pairs, quant_step=quant_step)
+        x, w2d, nbins, history["tail"], pairs, quant_step=quant_step,
+        merged=merged)
     # kernel sums are in quant units; spectra left in real units via v
     mu = Cplx(mu_q.re * quant_step, mu_q.im * quant_step)   # [K, nch]
     # each block's raw front rows came from the PREVIOUS block: its mean
@@ -1220,11 +1243,19 @@ def fx_pallas_raw_multi(x: Cplx, w2d, nbins: int, history, pairs,
     xp = _dc_correct(xp, T, U, mu, pairs_np, consts, s_rows,
                      mu_prev=mu_prev)
     halo = int(w2d.shape[0]) - 1
-    rows = x if x.re.ndim == 4 else Cplx(
-        x.re[..., : s_rows * nbins].reshape(*x.re.shape[:2], s_rows, nbins),
-        x.im[..., : s_rows * nbins].reshape(*x.im.shape[:2], s_rows, nbins))
+    if merged:
+        # [nch, K, S, lanes]: the raw packed tail is the last block's
+        # last halo rows
+        new_tail = Cplx(x.re[:, -1, -halo:], x.im[:, -1, -halo:])
+    else:
+        rows = x if x.re.ndim == 4 else Cplx(
+            x.re[..., : s_rows * nbins].reshape(*x.re.shape[:2],
+                                                s_rows, nbins),
+            x.im[..., : s_rows * nbins].reshape(*x.im.shape[:2],
+                                                s_rows, nbins))
+        new_tail = Cplx(rows.re[-1, :, -halo:], rows.im[-1, :, -halo:])
     new_hist = {
-        "tail": Cplx(rows.re[-1, :, -halo:], rows.im[-1, :, -halo:]),
+        "tail": new_tail,
         "mu_prev": Cplx(mu.re[-1], mu.im[-1]),
     }
     return xp, new_hist

@@ -53,13 +53,19 @@ class DeviceStager:
 
     def __init__(self, aligner, prepare_block, batch: int, depth: int = 2,
                  exc_queue: Optional[Queue] = None,
-                 feeding=lambda: False):
+                 feeding=lambda: False, prepare_batch=None):
         """``aligner``: BlockAligner to pull from; ``prepare_block``: host
         complex array -> device input (FxEngine.prepare_block);
+        ``prepare_batch``: K-block list -> one multi_step input
+        (FxEngine.prepare_batch — stages fused engines' merged layout;
+        defaults to prepare_block over an np.stack);
         ``batch``: blocks per staged dispatch (K); ``feeding``: callable,
         True while the upstream feeder may still produce blocks."""
         self.aligner = aligner
         self.prepare_block = prepare_block
+        self.prepare_batch = (prepare_batch if prepare_batch is not None
+                              else lambda blocks:
+                              prepare_block(np.stack(blocks)))
         self.batch = int(batch)
         self.exc_queue = exc_queue
         self.feeding = feeding
@@ -127,9 +133,10 @@ class DeviceStager:
                     # MB/batch host copy, but concurrent dispatch from this
                     # thread intermittently crashes the remote-device
                     # tunnel on this rig — keep the data plane to ONE jax
-                    # entry point per batch.)
-                    arr = np.stack(blocks)  # [k, nch, num_samp]
-                    iq = self.prepare_block(arr)  # async H2D enqueue
+                    # entry point per batch.)  Fused engines' prepare_batch
+                    # stacks channel-major — the kernel's merged layout, so
+                    # the dispatch pays no device transpose.
+                    iq = self.prepare_batch(blocks)  # async H2D enqueue
                     item = Batch(iq, self.batch, stacked=True)
                     self.staged_blocks += self.batch
                     self._put(item)

@@ -338,7 +338,7 @@ class TestFusedPallas:
         iq_u = tree.map(lambda *xs: jnp.stack(xs),
                         *[eng_u.prepare_block(b) for b in blocks])
         vu, hu = eng_u.multi_step(iq_u, delays, eng_u.fresh_history())
-        iq_f = eng_f.prepare_block(np.stack(blocks))
+        iq_f = eng_f.prepare_batch(blocks)   # merged [nch, K, S, nbins]
         vf, hf = eng_f.multi_step(iq_f, delays, eng_f.fresh_history())
         scale = np.abs(to_complex(vu)).max()
         np.testing.assert_allclose(to_complex(vf), to_complex(vu),
@@ -546,7 +546,7 @@ class TestInt8NativeFused:
         eng_q, _ = self._engines()
         blocks, _ = self._blocks()
         import jax
-        iq = eng_q.prepare_block(np.stack(blocks))
+        iq = eng_q.prepare_batch(blocks)   # merged packed [nch, K, S, L/4]
         dk = jnp.zeros((3, 2), jnp.float32)
         vm, hm = eng_q.multi_step(iq, dk, eng_q.fresh_history())
         hs = eng_q.fresh_history()
@@ -632,7 +632,7 @@ def test_fused_deep_dma_pipeline_matches_unfused(monkeypatch, nbuf, split):
         iq_u = tree.map(lambda *xs: jnp.stack(xs),
                         *[eng_u.prepare_block(b) for b in blocks])
         vu, hu = eng_u.multi_step(iq_u, delays, eng_u.fresh_history())
-        vf, hf = eng_f.multi_step(eng_f.prepare_block(np.stack(blocks)),
+        vf, hf = eng_f.multi_step(eng_f.prepare_batch(blocks),
                                   delays, eng_f.fresh_history())
         scale = np.abs(to_complex(vu)).max()
         np.testing.assert_allclose(to_complex(vf), to_complex(vu),
