@@ -344,6 +344,22 @@ def test_cli_mesh_run(tmp_path):
     assert data.shape[-1] == 1024
 
 
+def test_f32_fused_batched_end_to_end(tmp_path):
+    """Full Correlator run on the f32 fused kernel with the async staged
+    batch path: the stager stages merged-layout batches through
+    FxEngine.prepare_batch and the fused multi-step consumes them."""
+    cor = run_correlator(tmp_path, mode="SPECTRUM", synthetic_delay=2e-6,
+                         fused=True, blocks_per_dispatch=3)
+    assert cor.engine.fused_active and not cor.engine.int8_native
+    err_samples = abs(cor.calibrated_delays[1] - 2e-6) * 2.4e6
+    assert err_samples < 0.5
+    _, data = load_products(cor.output_file)
+    assert data.shape[0] == cor.blocks_processed >= 3
+    ph = np.angle(data.mean(axis=0))
+    inner = slice(2**10 // 4, 3 * 2**10 // 4)
+    assert np.std(np.unwrap(ph[inner])) < 0.35
+
+
 def test_int8_native_fused_end_to_end(tmp_path):
     """Full Correlator run on the int8-NATIVE fused kernel (interpret
     mode on CPU): dict-form raw-tail history flows through the state
