@@ -601,6 +601,24 @@ class TestInt8NativeDeepMultiTile(TestInt8NativeFused):
     NS, NBINS, NTAPS = 2**15, 256, 32
 
 
+def test_int8_deep_nbuf3_multi_tile_parity(monkeypatch):
+    """nbuf=3 (two DMAs in flight) on the int8-native deep-tap SVD shape
+    with K>1 AND n_tiles>1: the warm-start + lookahead-2 prefetch walks
+    the merged-rows copy grid across block boundaries."""
+    from fxtpu.fx import _STEP_CACHE
+    from fxtpu.ops import pfb_pallas
+
+    monkeypatch.setenv("FXTPU_FUSED_NBUF", "3")
+    _STEP_CACHE.clear()
+    pfb_pallas._fx_call.clear_cache()
+    try:
+        t = TestInt8NativeDeepMultiTile()
+        t.test_multi_step_matches_sequential()
+    finally:
+        _STEP_CACHE.clear()
+        pfb_pallas._fx_call.clear_cache()
+
+
 @pytest.mark.parametrize("nbuf,split", [(3, "0"), (4, "1")])
 def test_fused_deep_dma_pipeline_matches_unfused(monkeypatch, nbuf, split):
     """FXTPU_FUSED_NBUF > 2 (slab ring with nbuf-1 DMAs in flight) and
