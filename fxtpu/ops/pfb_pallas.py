@@ -230,8 +230,8 @@ def _pfb_fft_call(x_stacked, hist_stacked, means, w2d, nbins: int,
                           n1=n1, n2=n2, n_tiles=s_rows // tile),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # x (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # history (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),    # x (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),    # history (manual DMA)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # means [batch, 2]
             pl.BlockSpec(memory_space=pltpu.VMEM),   # window [ntaps, nbins]
             pl.BlockSpec(memory_space=pltpu.VMEM),   # c1 [n1, n1]
@@ -929,9 +929,9 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
                           split_dma=split_dma),
         grid=(k_blocks, s_rows // tile),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # x re (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # x im (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # history0 (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),    # x re (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),    # x im (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),    # history0 (manual DMA)
             vmem,                                    # window [ntaps, nbins]
             vmem, vmem,                              # stage-1 mat hi/lo
             vmem, vmem,                              # twiddle cos/sin f32

@@ -123,7 +123,7 @@ def run_mode(mode):
     call = pl.pallas_call(
         make_kernel(mode),
         grid=(NT,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
         + [pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),

@@ -116,7 +116,7 @@ def run_mode(mode):
     call = pl.pallas_call(
         make_kernel(mode),
         grid=(KB, NTILE),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         scratch_shapes=[

@@ -334,7 +334,7 @@ def build():
         call = pl.pallas_call(
             kernel,
             grid=(K, S // TILE),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in
             + [vmem] * 11,
             out_specs=out_specs,
             out_shape=out_shape,
@@ -346,7 +346,7 @@ def build():
         call = pl.pallas_call(
             kernel,
             grid=(S // TILE,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + [vmem] * 11,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [vmem] * 11,
             out_specs=pl.BlockSpec((2, N1, N2), lambda t: (0, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((2, N1, N2), jnp.float32),
