@@ -545,6 +545,14 @@ class Correlator:
                           out_shardings=NamedSharding(mesh, P()))(iq)
             delays = np.asarray(jax.device_get(out), dtype=np.float64)
         else:
+            if jax.tree.leaves(iq)[0].dtype == jnp.int32:
+                # int8-NATIVE engines ship PACKED int32 words (4 bins per
+                # word, ops.pfb_pallas.pack_int8_planes); a packed word
+                # cast to f32 is NOT a sample — unpack to the real planes
+                # BEFORE flattening (unpack restores natural bin order
+                # only within a frame row)
+                from fxtpu.ops.pfb_pallas import _unpack_i8
+                iq = jax.tree.map(lambda a: _unpack_i8(a, jnp.float32), iq)
             # fused-engine blocks arrive pre-framed [nch, S, nbins]:
             # flatten back to a sample axis before windowing
             iq = jax.tree.map(lambda a: a.reshape(a.shape[0], -1), iq)
@@ -661,9 +669,7 @@ class Correlator:
             # block, then correlate the whole batch with the fresh delays.
             # (The reference discards its calibration chunk; here no
             # samples are dropped — the cal block is also correlated.)
-            first = batch.iq
-            if batch.stacked:
-                first = jax.tree.map(lambda a: a[0], first)
+            first = self._first_staged_block(batch)
             with self.metrics.stage("calibrate"):
                 self._calibrate_task(first)
             self.state = "RUN"
@@ -677,6 +683,18 @@ class Correlator:
         self.metrics.mark_once("steady")
         self._maybe_snapshot()
         return True
+
+    def _first_staged_block(self, batch):
+        """Block 0 of a staged batch, in single-block input form.  The
+        batch layout depends on the engine: fused engines stage the MERGED
+        ``[nch, K, S, lanes]`` layout (FxEngine.prepare_batch), where
+        block 0 is the SECOND axis; every other engine stacks blocks on
+        the first axis."""
+        if not batch.stacked:
+            return batch.iq
+        if self.engine.fused_active:
+            return jax.tree.map(lambda a: a[:, 0], batch.iq)
+        return jax.tree.map(lambda a: a[0], batch.iq)
 
     def _maybe_snapshot(self):
         if (self.config.snapshot_every and

@@ -272,8 +272,13 @@ def make_fx_multi_step(*, mode: str, nbins: int, window2d: np.ndarray,
                        int8_ingest: bool = False):
     """K-blocks-per-dispatch variant (planes impl):
 
-        multi(iq [K, nch, num_samp], delays [K, nch], history)
-            -> (vis [K, ...], new_history)
+        multi(iq, delays [K, nch], history) -> (vis [K, ...], new_history)
+
+    ``iq`` is whatever :meth:`FxEngine.prepare_batch` returns for this
+    engine — the MERGED ``[nch, K, S, lanes]`` planes layout for fused
+    engines (the kernel's native form; feeding the legacy ``[K, nch, ...]``
+    stack to a fused multi_step raises a channel-axis mismatch), a
+    ``[K, nch, num_samp]`` stack otherwise.
 
     One ``lax.scan`` carries the PFB tap history block-to-block inside a
     single XLA executable — on this backend each dispatch costs ~1.4 ms of

@@ -35,9 +35,11 @@ logger = logging.getLogger(__name__)
 class Batch:
     """One staged unit of work.
 
-    ``iq`` is the device-resident input: a stacked ``[k, nch, num_samp]``
-    planes pair for full batches, or a single-block ``[nch, num_samp]``
-    input for tail blocks (``k == 1`` and ``stacked == False``).
+    ``iq`` is the device-resident input: for full batches, whatever
+    ``prepare_batch`` staged (the MERGED ``[nch, k, S, lanes]`` planes
+    layout for fused engines, a stacked ``[k, nch, num_samp]`` pair
+    otherwise); for tail blocks (``k == 1`` and ``stacked == False``), a
+    single-block ``prepare_block`` input.
     """
 
     __slots__ = ("iq", "k", "stacked")

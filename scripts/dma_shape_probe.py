@@ -35,7 +35,15 @@ def make_kernel(mode):
         buf = jax.lax.rem(g, 2)
 
         def copies(kk, tt, slot):
-            start = pl.multiple_of(tt * 64, 8)
+            if mode in ("prodsrc", "prod"):
+                # per-block 4-D source: tile offset within block kk
+                start = pl.multiple_of(tt * 64, 8)
+            else:
+                # single merged source: walk ALL NT tiles so every mode
+                # touches the same (cold) address range — offsetting by
+                # tt alone would re-read one hot 288-row region 32x and
+                # bias the comparison toward the 3-D modes
+                start = pl.multiple_of((kk * NTILE + tt) * 64, 8)
             if mode == "chan":
                 return [
                     pltpu.make_async_copy(
@@ -91,10 +99,7 @@ def make_kernel(mode):
 
         @pl.when(g == NT - 1)
         def _():
-            if mode in ("proddst", "prod"):
-                out_ref[...] = slab[0, 0, 0, :8, :128].astype(jnp.float32)
-            else:
-                out_ref[...] = slab[0, 0, 0, :8, :128].astype(jnp.float32)
+            out_ref[...] = slab[0, 0, 0, :8, :128].astype(jnp.float32)
 
     return kernel
 
@@ -109,12 +114,12 @@ def run_mode(mode):
                                   dtype=np.int64).astype(np.int32))
     xb = jnp.asarray(rng.integers(-2**30, 2**30, size=shape,
                                   dtype=np.int64).astype(np.int32))
-    if mode in ("proddst", "prod"):
-        slab_shape = (2, 2, 2, ROWS, L)   # [slot, ch, plane, rows, lanes]
-    else:
-        slab_shape = (2, 2, 2, ROWS, L)   # [slot, plane, ch, rows, lanes]
+    # [slot, plane, ch, rows, lanes] (proddst/prod read it [slot, ch,
+    # plane, ...] — same shape, the stride pattern is what differs)
+    slab_shape = (2, 2, 2, ROWS, L)
     call = pl.pallas_call(
         make_kernel(mode),
+        interpret=jax.default_backend() != "tpu",
         grid=(KB, NTILE),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -74,8 +74,10 @@ def main():
               f"{err.max() / scale:.2e} (excl. DC bin: "
               f"{err_nodc.max() / scale:.2e})")
 
-        # K-block multi-step throughput, readback-synced
-        iqk = tree.map(lambda x: jnp.stack([x] * K), iq)
+        # K-block multi-step throughput, readback-synced.  Stage through
+        # prepare_batch: fused engines take the MERGED [nch, K, S, lanes]
+        # layout, not a [K, nch, ...] stack.
+        iqk = eng.prepare_batch([blk] * K)
         dk = jnp.asarray(pack_delays(np.stack([delays] * K), cfg.frequency))
         hist = eng.fresh_history()
         visk, h = eng.multi_step(iqk, dk, hist)

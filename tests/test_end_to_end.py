@@ -87,6 +87,83 @@ def test_int8_step_matches_dequantized_f32():
                                atol=1e-6 * np.abs(to_complex(v_f)).max())
 
 
+def test_first_staged_block_every_layout(tmp_path):
+    """Correlator._first_staged_block returns BLOCK 0 for every staged
+    batch layout: the legacy [K, nch, ...] stack, the fused engines'
+    MERGED [nch, K, S, lanes] planes, and the int8-NATIVE packed words
+    (mid-run recalibration estimates from this slice — taking the wrong
+    axis hands the calibrator channel 0's blocks as channels)."""
+    import jax
+
+    from fxtpu.runtime.stager import Batch
+    rng = np.random.default_rng(5)
+    f32_blocks = [
+        (rng.normal(size=(2, 2**13)) + 1j * rng.normal(size=(2, 2**13))
+         ).astype(np.complex64) for _ in range(3)]
+    i8_blocks = [rng.integers(-127, 128, size=(2, 2**13, 2)).astype(np.int8)
+                 for _ in range(3)]
+    cases = [
+        (dict(), f32_blocks),
+        (dict(fused=True), f32_blocks),
+        (dict(fused=True, ingest_dtype="int8"), i8_blocks),
+    ]
+    for kw, blks in cases:
+        cfg = CorrelatorConfig(num_samp=2**13, nbins=2**10, run_time=1,
+                               clamp_num_samp=False, loglevel="ERROR",
+                               output_file=str(tmp_path / "v.csv"), **kw)
+        cor = Correlator(config=cfg)
+        batch = Batch(cor.engine.prepare_batch(blks), 3, True)
+        first = cor._first_staged_block(batch)
+        want = cor.engine.prepare_block(blks[0])
+        for a, b in zip(jax.tree.leaves(first), jax.tree.leaves(want)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), kw
+        cor.close()
+
+
+def test_packed_int8_calibration_unpacks_words():
+    """_calibrate_task on an int8-NATIVE engine (packed int32 words, 4
+    bins each) must unpack to the real sample planes before windowing —
+    the delays must be IDENTICAL to calibrating the unpacked int8 planes
+    directly (same integers, same math).  A packed word cast to f32 is
+    dominated by its high byte (bin quarter 3), which happens to be an
+    approximate shift map for small delays — close enough to sneak past
+    a 0.5-sample oracle, wrong in the tail bytes."""
+    import jax.numpy as jnp
+
+    from fxtpu.correlator import Correlator
+    from fxtpu.ops.cplx import Cplx
+    cfg = CorrelatorConfig(mode="SPECTRUM", num_samp=2**14, nbins=2**10,
+                           run_time=1, clamp_num_samp=False,
+                           loglevel="ERROR", ingest_dtype="int8",
+                           fused=True, output_file="/tmp/_cal_unused.csv")
+    rng = np.random.default_rng(9)
+    n = cfg.num_samp
+    base = rng.normal(size=(n + 16,)) * 40
+    baseq = rng.normal(size=(n + 16,)) * 40
+    d = 7  # integer-sample true delay
+    block = np.zeros((2, n, 2), np.int8)
+    block[0, :, 0] = np.clip(np.round(base[16:16 + n]), -127, 127)
+    block[0, :, 1] = np.clip(np.round(baseq[16:16 + n]), -127, 127)
+    block[1, :, 0] = np.clip(np.round(base[16 - d:16 - d + n]), -127, 127)
+    block[1, :, 1] = np.clip(np.round(baseq[16 - d:16 - d + n]), -127, 127)
+
+    cor = Correlator(config=cfg)
+    assert cor.engine.int8_native
+    packed = cor.engine.prepare_block(block)
+    assert packed.re.dtype == jnp.int32  # packed words, not samples
+    cor._calibrate_task(packed)
+    got = cor.calibrated_delays
+
+    # oracle: the same integers as plain (unpacked) int8 planes
+    ncal = min(cfg.calibrate_samples, n)
+    planes = Cplx(jnp.asarray(block[..., 0], jnp.float32)[:, :ncal],
+                  jnp.asarray(block[..., 1], jnp.float32)[:, :ncal])
+    want = np.asarray(cor.engine.calibrate(planes), np.float64)
+    np.testing.assert_array_equal(got, want)
+    assert abs(abs(got[1]) * cfg.bandwidth - d) < 0.5
+    cor.close()
+
+
 def test_calibrate_window_smaller_than_block(tmp_path):
     """calibrate_samples < num_samp: the delay is still recovered within
     the 0.5-sample oracle from the leading window only (keeps the cal
@@ -160,14 +237,20 @@ def test_cli_end_to_end(tmp_path):
     assert err_samples < 0.5
 
 
-def test_recalibration_mid_run_staged(tmp_path):
+@pytest.mark.parametrize("fused", ["auto", True])
+def test_recalibration_mid_run_staged(tmp_path, fused):
     """Mid-run 'c' on the async staged path (blocks_per_dispatch > 1):
     calibration runs on the first block of the next staged device batch and
     the batch is still correlated (no samples dropped — documented
-    deviation from the reference, which discards its cal chunk)."""
+    deviation from the reference, which discards its cal chunk).
+
+    fused=True covers the MERGED batch layout ([nch, K, S, lanes]): the
+    first-block slice must take axis 1, not axis 0 — slicing axis 0 hands
+    the calibrator channel 0's K blocks as if they were K channels."""
     cfg = CorrelatorConfig(num_samp=2**14, nbins=2**10, run_time=1,
                            clamp_num_samp=False, loglevel="ERROR",
                            synthetic_delay=1e-6, blocks_per_dispatch=4,
+                           fused=fused,
                            output_file=str(tmp_path / "vis.csv"))
     cor = Correlator(config=cfg)
     import threading
