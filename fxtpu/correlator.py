@@ -326,10 +326,21 @@ class Correlator:
         if "num_samp" in changes:
             from fxtpu.runtime.native import make_ring
             cfg = self.config
+            if self.sample_span is not None:
+                # multi-process runtime: the rings hold only this
+                # process's span of each global block — recompute it for
+                # the new block size (the stale span would feed
+                # wrong-length local slices to
+                # make_array_from_process_local_data)
+                from fxtpu.parallel.ingest import local_sample_span
+                self.sample_span = local_sample_span(self.engine.mesh,
+                                                     cfg.num_samp)
+            local_samp = (cfg.num_samp if self.sample_span is None
+                          else self.sample_span[1] - self.sample_span[0])
             if cfg.ingest_dtype == "int8":
-                ring_shape, ring_dtype = (cfg.num_samp, 2), np.int8
+                ring_shape, ring_dtype = (local_samp, 2), np.int8
             else:
-                ring_shape, ring_dtype = (cfg.num_samp,), np.complex64
+                ring_shape, ring_dtype = (local_samp,), np.complex64
             self.bufs = [
                 make_ring(cfg.buffer_chunks, ring_shape, dtype=ring_dtype)
                 for _ in range(cfg.nchan)
@@ -383,6 +394,7 @@ class Correlator:
 
     def _run_machine(self):
         warned_full = [False] * self.config.nchan
+        dry_gets = 0   # consecutive aligner misses with the feeder dead
         while True:
             # user input: 'c' requests recalibration (effex.py:332-336)
             if not self.kbd_queue.empty():
@@ -428,9 +440,23 @@ class Correlator:
                                   time.time() - t_fetch)
                 if block is None:
                     feeding = self.feeder is not None and self.feeder.alive
-                    if feeding or any(not b.empty() for b in self.bufs):
+                    if feeding:
+                        dry_gets = 0
                         self.logger.debug("Buffers empty, waiting")
                         continue
+                    # Feeder done: rings are static.  One retry absorbs the
+                    # race with its final puts; after that, a non-empty ring
+                    # holds an UNPAIRABLE residual (seq dropped in a sibling
+                    # ring) that can never align — treat as drained rather
+                    # than spinning forever.
+                    dry_gets += 1
+                    if dry_gets < 2 and any(not b.empty()
+                                            for b in self.bufs):
+                        continue
+                    if dry_gets >= 2 and any(not b.empty()
+                                             for b in self.bufs):
+                        self.logger.info("end of stream: discarding "
+                                         "unpairable residual ring blocks")
                     # Feeder done and buffers drained: wait for output drain
                     # then shut down (effex.py:375-385).
                     if self.vis_out.empty():
@@ -444,6 +470,7 @@ class Correlator:
                         time.sleep(0.05)
                     continue
 
+                dry_gets = 0
                 self._blocks_consumed += 1
                 self.metrics.count("samples_in",
                                    self.config.nchan * self.num_samp)

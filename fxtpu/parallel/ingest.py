@@ -23,12 +23,9 @@ import jax
 import numpy as np
 
 from fxtpu.ops.cplx import Cplx
-from fxtpu.parallel.mesh import FREQ_AXIS, TIME_AXIS
+from fxtpu.parallel.mesh import FREQ_AXIS, TIME_AXIS, block_sharding
 
-
-def block_sharding(mesh: jax.sharding.Mesh) -> jax.sharding.NamedSharding:
-    return jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec(None, (TIME_AXIS, FREQ_AXIS)))
+__all__ = ["block_sharding", "put_block", "local_sample_span"]
 
 
 def put_block(block: np.ndarray, mesh: Optional[jax.sharding.Mesh],

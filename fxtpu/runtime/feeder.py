@@ -30,7 +30,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from fxtpu.runtime.ringbuffer import BufferFull, RingBuffer
+from fxtpu.runtime.ringbuffer import BufferClosed, BufferFull, RingBuffer
 from fxtpu.sources.base import Source
 
 logger = logging.getLogger(__name__)
@@ -75,6 +75,14 @@ class Feeder:
     def stop(self):
         self._stop.set()
         self.source.stop()
+        # Wake a put()/reserve() blocked on a full ring: without this the
+        # feeder thread sits out the remaining put_timeout (up to 30 s)
+        # and then reports a spurious BufferFull for a user-initiated
+        # stop.  Closing is drain-friendly — consumers still empty the
+        # ring, then see None.  _stop is already set, so the woken
+        # BufferClosed is treated as a clean exit in _run.
+        for buf in self.bufs:
+            buf.close()
 
     def join(self, timeout: Optional[float] = None):
         if self._thread is not None:
@@ -138,6 +146,15 @@ class Feeder:
                     break
             logger.info("Buffering ended at %s",
                         time.strftime("%a, %d %b %Y %H:%M:%S"))
+        except BufferClosed:
+            if self._stop.is_set():
+                # consumer-initiated stop woke a blocked put — clean exit
+                logger.info("Buffering stopped (ring closed).")
+            else:
+                logger.exception("feeder thread failed: ring closed "
+                                 "underneath a live feeder")
+                if self.exc_queue is not None:
+                    self.exc_queue.put(traceback.format_exc())
         except BufferFull:
             # Report-and-return: this runs in a daemon thread, so the
             # supervision queue IS the error channel (re-raising here would

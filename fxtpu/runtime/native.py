@@ -232,9 +232,12 @@ class NativeRingBuffer:
         if seq is None:
             seq = self._next_seq
         block = np.ascontiguousarray(block, dtype=self.dtype)
+        # timeout=None waits forever, like the Python RingBuffer (and like
+        # get/get_view below) — not 0.0, which would fail on the first
+        # full poll
         rc = self._lib.rb_put(
             self._rb, block.ctypes.data_as(ctypes.c_void_p), block.nbytes,
-            seq, 0.0 if timeout is None else float(timeout))
+            seq, 1e9 if timeout is None else float(timeout))
         if rc == -2:
             raise BufferClosed("put on closed ring buffer")
         if rc == -1:
@@ -265,7 +268,7 @@ class NativeRingBuffer:
         ptr = ctypes.c_void_p()
         rc = self._lib.rb_reserve(
             self._rb, ctypes.byref(ptr),
-            0.0 if timeout is None else float(timeout))
+            1e9 if timeout is None else float(timeout))
         if rc == -2:
             raise BufferClosed("reserve on closed ring buffer")
         if rc == -1:

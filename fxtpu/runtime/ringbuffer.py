@@ -101,6 +101,11 @@ class RingBuffer:
                             lambda: self._count < self.capacity or self._closed,
                             timeout=timeout):
                         if self.policy == "raise":
+                            # count the lost block first — same accounting
+                            # as the native ring (rb_put counts every
+                            # timeout): drops = blocks that never entered
+                            # the ring, whatever the policy does next
+                            self.drops += 1
                             raise BufferFull(
                                 f"ring buffer full for {timeout} s "
                                 f"({self.drops} drops so far)")
@@ -147,9 +152,15 @@ class RingBuffer:
     # ------------------------------------------------------------------
     def get(self, timeout: Optional[float] = None
             ) -> Optional[Tuple[int, np.ndarray]]:
-        """Pop the oldest block.  Returns ``(seq, view)`` — the view aliases
-        the slot and is valid until ``capacity`` further puts — or None on
-        timeout / closed-and-drained."""
+        """Pop the oldest block.  Returns ``(seq, copy)`` or None on
+        timeout / closed-and-drained.
+
+        The block is COPIED out: popping frees the slot, and when the ring
+        was full the producer's very next put targets exactly that slot —
+        a returned view would race it (a blocked producer wakes on the
+        ``not_full`` notify below).  Zero-copy consumption is the explicit
+        :meth:`get_view` / :meth:`release` pair, which keeps the slot
+        owned until released."""
         with self._not_empty:
             if self._count == 0:
                 if not self._not_empty.wait_for(
@@ -160,11 +171,38 @@ class RingBuffer:
                     return None
             slot = self._tail
             seq = int(self._seqs[slot])
-            view = self._slots[slot]
+            block = self._slots[slot].copy()
             self._tail = (self._tail + 1) % self.capacity
             self._count -= 1
             self._not_full.notify()
-            return seq, view
+            return seq, block
+
+    def get_view(self, timeout: Optional[float] = None
+                 ) -> Optional[Tuple[int, np.ndarray]]:
+        """Peek the oldest block WITHOUT consuming it: ``(seq, view)`` of
+        the slot, or None on timeout / closed-and-drained.  The slot stays
+        owned by the consumer — the producer cannot overwrite it — until
+        :meth:`release` consumes it (same contract as the native ring's
+        rb_peek/rb_release)."""
+        with self._not_empty:
+            if self._count == 0:
+                if not self._not_empty.wait_for(
+                        lambda: self._count > 0 or self._closed,
+                        timeout=timeout):
+                    return None
+                if self._count == 0:  # closed and drained
+                    return None
+            slot = self._tail
+            return int(self._seqs[slot]), self._slots[slot]
+
+    def release(self):
+        """Consume the slot last returned by :meth:`get_view`."""
+        with self._lock:
+            if self._count == 0:
+                return
+            self._tail = (self._tail + 1) % self.capacity
+            self._count -= 1
+            self._not_full.notify()
 
 
 class BufferFull(Exception):

@@ -113,14 +113,28 @@ class DeviceStager:
     def _gather(self) -> List[np.ndarray]:
         """Collect up to ``batch`` aligned blocks; short list at stream end."""
         blocks: List[np.ndarray] = []
+        dry = 0
         while len(blocks) < self.batch and not self._stop.is_set():
             blk = self.aligner.get(timeout=0.05)
             if blk is None:
-                if self.feeding() or any(not b.empty()
-                                         for b in self.aligner.bufs):
+                if self.feeding():
+                    dry = 0
                     continue  # upstream still alive; keep waiting
-                break         # drained and done
-            blocks.append(blk)
+                # Feeder done: the rings are static.  One more attempt
+                # absorbs the race with the feeder's final puts; a second
+                # consecutive miss means whatever remains is an UNPAIRABLE
+                # residual (e.g. a seq dropped in a sibling ring) that can
+                # never align — waiting on `not empty()` would spin forever
+                # and the end-of-stream sentinel would never be emitted.
+                dry += 1
+                if dry >= 2:
+                    if any(not b.empty() for b in self.aligner.bufs):
+                        logger.info("end of stream: discarding unpairable "
+                                    "residual ring blocks")
+                    break  # drained and done
+            else:
+                dry = 0
+                blocks.append(blk)
         return blocks
 
     def _run(self):

@@ -15,7 +15,7 @@ from __future__ import annotations
 import asyncio
 import threading
 import time
-from queue import Empty, Queue
+from queue import Empty, Full, Queue
 from typing import Optional
 
 import numpy as np
@@ -52,10 +52,17 @@ class RtlSdrSource(Source):  # pragma: no cover - requires hardware
             sdr.fc = center_freq
             sdr.gain = gain
             self._sdrs.append(sdr)
-        self._queues = [Queue() for _ in range(nchan)]
+        # Bounded queues: a stalled consumer (e.g. a minutes-long first
+        # XLA compile) must DROP — seq-tagged, so read_block re-pairs
+        # after a drop instead of desynchronizing forever.  An unbounded
+        # queue on a realtime source just trades data loss for memory
+        # exhaustion.
+        self._queues = [Queue(maxsize=8) for _ in range(nchan)]
         self._threads = []
         self._startup_delay = startup_delay
         self._started = False
+        self.drops = [0] * nchan
+        self.realigned = 0
 
     # tuning pass-through writes straight to the tuners (effex.py:256-306)
     @Source.sample_rate.setter
@@ -80,33 +87,73 @@ class RtlSdrSource(Source):  # pragma: no cover - requires hardware
         # Common-epoch barrier, as in the reference (effex.py:426,649-650).
         start_time = time.time() + self._startup_delay
 
-        def reader(sdr, q):
+        def reader(sdr, q, chan):
             async def run():
+                seq = 0
                 while time.time() < start_time:
                     await asyncio.sleep(1e-4)
                 async for samples in sdr.stream(format="samples",
                                                 num_samples_or_bytes=num_samp):
-                    q.put(np.asarray(samples, dtype=np.complex64))
                     if self._stopped:
                         break
+                    blk = np.asarray(samples, dtype=np.complex64)
+                    try:
+                        q.put_nowait((seq, blk))
+                    except Full:
+                        # consumer stalled: drop the OLDEST queued block
+                        # (counted) and enqueue the fresh one — the seq
+                        # tags let read_block re-pair across the gap
+                        self.drops[chan] += 1
+                        try:
+                            q.get_nowait()
+                        except Empty:
+                            pass
+                        try:
+                            q.put_nowait((seq, blk))
+                        except Full:
+                            pass
+                    seq += 1
                 await sdr.stop()
             asyncio.run(run())
 
-        for sdr, q in zip(self._sdrs, self._queues):
-            t = threading.Thread(target=reader, args=(sdr, q), daemon=True)
+        for chan, (sdr, q) in enumerate(zip(self._sdrs, self._queues)):
+            t = threading.Thread(target=reader, args=(sdr, q, chan),
+                                 daemon=True)
             t.start()
             self._threads.append(t)
         self._started = True
 
     def read_block(self, num_samp: int) -> Optional[np.ndarray]:
+        """One aligned ``[nchan, num_samp]`` block, paired BY SEQUENCE
+        NUMBER: a drop in one dongle's stream discards only the matching
+        seqs in the others (counted in ``realigned``) instead of pairing
+        channel c's block k with channel c+1's block k+1 forever after."""
         if not self._started:
             self._start(num_samp)
-        out = np.empty((self.nchan, num_samp), dtype=np.complex64)
-        for c, q in enumerate(self._queues):
+        items = []
+        for q in self._queues:
             try:
-                out[c] = q.get(timeout=30)
+                items.append(q.get(timeout=30))
             except Empty:
                 return None
+        while True:
+            target = max(seq for seq, _ in items)
+            if all(seq == target for seq, _ in items):
+                break
+            self.realigned += 1
+            for c, (seq, _) in enumerate(items):
+                while seq < target:
+                    try:
+                        seq, blk = self._queues[c].get(timeout=30)
+                    except Empty:
+                        return None
+                    items[c] = (seq, blk)
+        out = np.empty((self.nchan, num_samp), dtype=np.complex64)
+        for c, (_seq, blk) in enumerate(items):
+            n = min(num_samp, len(blk))
+            out[c, :n] = blk[:n]
+            if n < num_samp:  # short USB read: zero-pad, never misalign
+                out[c, n:] = 0
         return out
 
     def close(self):

@@ -122,6 +122,11 @@ class FaultInjectingSource(Source):
         self.short_every = short_every
         self.fail_at = fail_at
         self._count = 0
+        # transparent wrapper: keep the inner source's feeder discipline
+        # (realtime drop-vs-backpressure) and bandwidth ceiling, like
+        # QuantizedSource
+        self.realtime = getattr(inner, "realtime", False)
+        self.max_stable_bandwidth = inner.max_stable_bandwidth
 
     def read_block(self, num_samp: int) -> Optional[np.ndarray]:
         self._count += 1
@@ -135,3 +140,11 @@ class FaultInjectingSource(Source):
         if self.short_every and self._count % self.short_every == 0 and block is not None:
             block = block[:, : num_samp // 2]  # short read
         return block
+
+    def stop(self):
+        super().stop()
+        self.inner.stop()
+
+    def close(self):
+        super().close()
+        self.inner.close()

@@ -463,3 +463,116 @@ def test_aligner_view_path_realigns_with_native_rings():
     b1.put(np.full(4, 13, np.complex64), seq=3)
     blk = al.get(timeout=0.5)
     assert blk[0][0] == 3 and blk[1][0] == 13
+
+
+# ---------------------------------------------------------------------------
+# Round-2 review regressions: consumer-copy safety, view ownership, stream
+# termination with unpairable residuals, stop() waking a blocked producer.
+
+def test_ring_get_copies_out_of_slot():
+    """get() must return a COPY: popping frees the slot, and when the ring
+    was full the producer's very next put reuses exactly that slot — a
+    returned view would race it."""
+    rb = RingBuffer(1, (4,))
+    rb.put(np.zeros(4))
+    t = threading.Thread(target=lambda: rb.put(np.ones(4), timeout=1))
+    t.start()
+    time.sleep(0.05)          # producer is now blocked on the full ring
+    seq, blk = rb.get(timeout=1)
+    t.join()                  # producer woke and overwrote the slot
+    assert seq == 0 and np.all(blk == 0)
+
+
+def test_ring_get_view_owns_slot_until_release():
+    """get_view() keeps the slot owned by the consumer: a producer cannot
+    overwrite it until release() consumes it (same contract as the native
+    ring's rb_peek/rb_release)."""
+    rb = RingBuffer(1, (4,))
+    rb.put(np.zeros(4))
+    seq, view = rb.get_view(timeout=0.5)
+    assert seq == 0
+    with pytest.raises(BufferFull):
+        rb.put(np.ones(4), timeout=0.05)   # slot still owned
+    assert np.all(view == 0)
+    rb.release()
+    assert rb.put(np.full(4, 2.0), timeout=0.5) == 1
+
+
+def test_aligner_single_copy_path_on_python_rings():
+    """Python rings now expose get_view/release, so the aligner's
+    single-copy path engages without the native lib."""
+    bufs = [RingBuffer(4, (4,)) for _ in range(2)]
+    al = BlockAligner(bufs)
+    assert al._views
+    bufs[0].put(np.zeros(4), seq=0)
+    bufs[1].put(np.ones(4), seq=0)
+    blk = al.get(timeout=0.5)
+    assert blk is not None and blk.shape == (2, 4)
+    assert blk[0][0] == 0 and blk[1][0] == 1
+    assert all(b.empty() for b in bufs)
+
+
+def test_stager_ends_despite_unpairable_residual():
+    """A seq dropped in one ring leaves a permanently unpairable block in
+    a sibling ring; with the feeder done, the stager must still emit its
+    end-of-stream sentinel instead of spinning on `not b.empty()`."""
+    from fxtpu.runtime.stager import DeviceStager
+    b0, b1 = RingBuffer(8, (4,)), RingBuffer(8, (4,))
+    b0.put(np.zeros(4), seq=0)
+    b1.put(np.full(4, 10.0), seq=0)
+    b1.put(np.full(4, 11.0), seq=1)   # ch0's seq 1 was dropped upstream
+    al = BlockAligner([b0, b1])
+    st = DeviceStager(al, prepare_block=lambda b: b, batch=1,
+                      feeding=lambda: False).start()
+    got = []
+    deadline = time.time() + 10
+    while time.time() < deadline and not st.done:
+        item = st.get(timeout=0.1)
+        if item is not None:
+            got.append(item)
+    assert st.done            # pre-fix: spins forever, sentinel never sent
+    assert len(got) == 1      # the aligned seq-0 pair still came through
+
+
+def test_feeder_stop_wakes_blocked_put():
+    """stop() closes the rings, so a put blocked on a full ring wakes
+    immediately (not after the 30 s put_timeout) and a user-initiated stop
+    is not reported as a feeder failure."""
+    class RealtimeNoise(NoiseSource):
+        realtime = True
+
+    src = RealtimeNoise(nchan=1, seed=1)
+    bufs = [RingBuffer(1, (256,))]
+    excq = Queue()
+    f = Feeder(src, bufs, 256, start_time=0.0, run_time=30.0,
+               exc_queue=excq, put_timeout=30.0).start()
+    deadline = time.time() + 5
+    while not bufs[0].full() and time.time() < deadline:
+        time.sleep(0.01)
+    time.sleep(0.1)           # let the feeder block inside put()
+    t0 = time.time()
+    f.stop()
+    f.join(5.0)
+    assert not f.alive
+    assert time.time() - t0 < 5.0
+    assert excq.empty()       # clean stop: no spurious BufferFull report
+
+
+@pytest.mark.skipif(not native.native_available(),
+                    reason="native lib not built (make -C native)")
+def test_native_put_timeout_none_blocks():
+    """timeout=None means wait-forever on the native ring too (it used to
+    translate to 0.0 s — fail on the first full poll — while the Python
+    ring and native get() treated None as forever)."""
+    rb = native.NativeRingBuffer(1, (4,), np.float32)
+    rb.put(np.zeros(4, np.float32))
+
+    def consumer():
+        time.sleep(0.2)
+        rb.get(timeout=1)
+
+    t = threading.Thread(target=consumer)
+    t.start()
+    seq = rb.put(np.ones(4, np.float32))   # must block, then succeed
+    t.join()
+    assert seq == 1
