@@ -186,15 +186,23 @@ def _make_planes_core(*, mode: str, nbins: int, w2d, pairs_a,
     return core
 
 
-def _deep_svd_applies(window2d, nbins: int) -> bool:
+def _deep_svd_applies(window2d, nbins: int, int8: bool = False) -> bool:
     """True when the deep-tap fused path exists for this window: an
     SVD-factorizable (>= SVD_FIR_MIN_TAPS, rank < ntaps) PFB window.
     With the factorization the fused kernel beats XLA for BOTH ingest
     widths (f32 7.65 vs 7.29, int8-native 12.97 vs 7.3 GS/s at 32
-    taps/8192 bins on v5e); without it the direct tap loop loses."""
-    from fxtpu.ops.pfb_pallas import _svd_fir_factors
+    taps/8192 bins on v5e); without it the direct tap loop loses.
+
+    ``int8`` selects the int8-native kernel's looser factorization
+    tolerance (1e-5 — its accuracy floor is the quantization itself), so
+    'auto' matches exactly the tolerance _fx_call will factorize at: a
+    window full-rank at 1e-7 but factorizable at 1e-5 must still route
+    the int8 engine to the fused path."""
+    from fxtpu.ops.pfb_pallas import (_SVD_TOL, _SVD_TOL_INT8,
+                                      _svd_fir_factors)
     return _svd_fir_factors(
-        tuple(np.asarray(window2d, np.float64).ravel()), nbins) is not None
+        tuple(np.asarray(window2d, np.float64).ravel()), nbins,
+        _SVD_TOL_INT8 if int8 else _SVD_TOL) is not None
 
 
 def make_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
@@ -231,7 +239,7 @@ def make_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
         w2d = jnp.asarray(window2d, dtype=jnp.float32)
         use_fused = _resolve_fused(
             fused, nbins, ntaps, s_rows, nch,
-            deep_svd=_deep_svd_applies(window2d, nbins))
+            deep_svd=_deep_svd_applies(window2d, nbins, int8=int8_ingest))
         core = _make_planes_core(
             mode=mode, nbins=nbins, w2d=w2d, pairs_a=pairs_a,
             bandwidth=bandwidth, frequency=frequency, use_fused=use_fused,
@@ -295,7 +303,7 @@ def make_fx_multi_step(*, mode: str, nbins: int, window2d: np.ndarray,
     nch = int(np.asarray(pairs).max()) + 1
     use_fused = _resolve_fused(
         fused, nbins, ntaps, s_rows, nch,
-        deep_svd=_deep_svd_applies(window2d, nbins))
+        deep_svd=_deep_svd_applies(window2d, nbins, int8=int8_ingest))
 
     if use_fused:
         # no lax.scan: the fused kernel's grid iterates blocks itself,
@@ -444,6 +452,14 @@ class FxEngine:
             int8_ingest=cfg.ingest_dtype == "int8"))
         self.calibrate = make_calibrator(bandwidth=cfg.bandwidth, impl=impl)
         self._multi_step = None
+        self._fused_active = (
+            impl == "planes" and mesh is None
+            and _resolve_fused(
+                fused, cfg.nbins, cfg.ntaps, cfg.num_samp // cfg.nbins,
+                cfg.nchan,
+                deep_svd=_deep_svd_applies(
+                    self.window2d, cfg.nbins,
+                    int8=cfg.ingest_dtype == "int8")))
 
     @property
     def multi_step(self):
@@ -496,13 +512,15 @@ class FxEngine:
 
     @property
     def fused_active(self) -> bool:
-        """True when this engine's step runs the fused Pallas kernel."""
-        return (self.impl == "planes" and self.mesh is None
-                and _resolve_fused(
-                    self.fused, self.cfg.nbins, self.cfg.ntaps,
-                    self.cfg.num_samp // self.cfg.nbins, self.cfg.nchan,
-                    deep_svd=_deep_svd_applies(
-                        self.window2d, self.cfg.nbins)))
+        """True when this engine's step runs the fused Pallas kernel.
+
+        Computed ONCE at construction (everything it depends on is
+        config-constant): prepare_block/prepare_batch consult it per
+        ingested block, and re-deriving it would rebuild and hash the
+        ntaps*nbins window tuple each time — measured 18.4 ms/call at the
+        wideband 32-tap/8192-bin shape, comparable to the device step
+        itself."""
+        return self._fused_active
 
     def prepare_block(self, block: np.ndarray):
         """Host block [nch, num_samp] complex64 -> device input form.

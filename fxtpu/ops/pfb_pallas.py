@@ -142,10 +142,12 @@ def _kernel(x_ref, hist_ref, mean_ref, w_ref, c1_ref, s1_ref, twc_ref,
     @pl.when(t == 0)
     def _():
         # first tile: synchronous history + head rows into buffer 0
-        cp = pltpu.make_async_copy(hist_ref.at[b], slab.at[0, :, :pad],
-                                   sems.at[0])
-        cp.start()
-        cp.wait()
+        # (ntaps == 1 has no history region: pad == 0, skip the 0-row copy)
+        if pad:
+            cp = pltpu.make_async_copy(hist_ref.at[b], slab.at[0, :, :pad],
+                                       sems.at[0])
+            cp.start()
+            cp.wait()
         cp2 = pltpu.make_async_copy(x_ref.at[b, :, pl.ds(0, tile)],
                                     slab.at[0, :, pad:], sems.at[0])
         cp2.start()
@@ -821,9 +823,10 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
             out_ref[0, ib, 1] += acc_im
 
 
-def _default_nbuf(nbins: int, int8_in: bool) -> int:
+def _default_nbuf() -> int:
     """DMA slab-ring depth.  2 = classic double buffering (one transfer
-    in flight)."""
+    in flight) — the v5e sweep found deeper rings bought nothing at the
+    production shapes; FXTPU_FUSED_NBUF overrides for probing."""
     return 2
 
 
@@ -916,8 +919,7 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
     # per-(channel, plane) descriptor split.  Read at trace time; defaults
     # measured on v5e (see _default_nbuf).
     import os as _os
-    nbuf = int(_os.environ.get("FXTPU_FUSED_NBUF", "0")) \
-        or _default_nbuf(nbins, int8_in)
+    nbuf = int(_os.environ.get("FXTPU_FUSED_NBUF", "0")) or _default_nbuf()
     split_dma = _os.environ.get("FXTPU_FUSED_SPLITDMA", "") == "1"
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1288,15 +1290,21 @@ def spectrometer_pallas(x: Cplx, w2d, nbins: int, history: Cplx):
     x_stacked = jnp.stack([rows_re, rows_im], axis=1)  # [nch, 2, S, nbins]
     # history padded to the 8-aligned slab front: [nch, 2, pad, nbins]
     pad = _halo_pad(ntaps)
+    # ntaps == 1: no history region (pad == 0) — the kernel skips the
+    # hist copy, but pallas rejects 0-size ref dims, so ship 8 dummy rows
+    hpad = pad if pad else 8
     hist = jnp.stack([history.re, history.im], axis=1).astype(jnp.float32)
-    hist = jnp.pad(hist, ((0, 0), (0, 0), (pad - (ntaps - 1), 0), (0, 0)))
+    hist = jnp.pad(hist, ((0, 0), (0, 0), (hpad - (ntaps - 1), 0), (0, 0)))
     out = _pfb_fft_call(x_stacked.astype(jnp.float32), hist,
                         means.astype(jnp.float32),
                         jnp.asarray(w2d, jnp.float32), nbins, tile)
     # [nch, 2, S, n2, n1] -> [nch, 2, S, nbins]: contiguous, free reshape
     out = out.reshape(nch, 2, s_rows, nbins)
     spec = Cplx(out[:, 0], out[:, 1])
-    # history carried forward is the DC-corrected tail (planes-path parity)
-    new_hist = Cplx(rows_re[:, -(ntaps - 1):] - means[:, None, None, 0],
-                    rows_im[:, -(ntaps - 1):] - means[:, None, None, 1])
+    # history carried forward is the DC-corrected tail (planes-path
+    # parity).  Slice from the front: ``-(ntaps - 1):`` at ntaps == 1 is
+    # ``-0:`` — the WHOLE block, not an empty tail.
+    tail = s_rows - (ntaps - 1)
+    new_hist = Cplx(rows_re[:, tail:] - means[:, None, None, 0],
+                    rows_im[:, tail:] - means[:, None, None, 1])
     return spec, new_hist

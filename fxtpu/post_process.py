@@ -29,7 +29,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from fxtpu.products import load_products
+from fxtpu.products import load_products, shifted_rf_freqs
 
 C_LIGHT = 2.998e8  # m/s, reference constant (post_process.py:110,120)
 
@@ -45,6 +45,10 @@ def visualize(visibilities, rate, fc, nfft, mode, test_delay_sweep_step=0,
     """2x2 panel figure of one product file (``post_process.py:7-99``)."""
     plt = _plt()
     visibilities = np.asarray(visibilities)
+    if mode.lower() not in ("continuum", "test"):
+        # a single-spectrum product loads 1-D (np.loadtxt squeezes);
+        # the waterfall panels index [row, bin]
+        visibilities = np.atleast_2d(visibilities)
     amp = np.sqrt(np.real(visibilities * np.conj(visibilities)))
     phase = np.angle(visibilities)
     real_part = np.real(visibilities)
@@ -81,7 +85,7 @@ def visualize(visibilities, rate, fc, nfft, mode, test_delay_sweep_step=0,
         axes[1][1].set_ylabel("Amplitude")
         axes[1][1].set_title("Complex Cross-Correlation Imag")
     else:
-        freqs = np.fft.fftshift(np.fft.fftfreq(nfft, d=1 / rate)) + fc
+        freqs = shifted_rf_freqs(nfft, rate, fc)
         num_spectra = np.arange(visibilities.shape[0])
         stride = 1
         max_rows = 50

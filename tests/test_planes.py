@@ -660,3 +660,54 @@ def test_fused_deep_dma_pipeline_matches_unfused(monkeypatch, nbuf, split):
     finally:
         _STEP_CACHE.clear()
         pfb_pallas._fx_call.clear_cache()
+
+
+def test_spectrometer_pallas_ntaps1_history_empty():
+    """ntaps=1 (no FIR memory): the carried history must be the EMPTY
+    tail — the old ``rows[:, -(ntaps - 1):]`` slice was ``-0:``, i.e. the
+    whole block, which blows up the next call's framing (r2 review
+    finding)."""
+    from fxtpu.ops.pfb_pallas import spectrometer_pallas
+    from fxtpu.ops.window import pfb_window
+    nbins, ntaps, ns = 256, 1, 2**12
+    w2d = jnp.asarray(pfb_window(ntaps, nbins).reshape(ntaps, nbins),
+                      jnp.float32)
+    rng = np.random.default_rng(3)
+    x = (rng.normal(size=(2, ns)) + 1j * rng.normal(size=(2, ns))
+         ).astype(np.complex64)
+    y = (rng.normal(size=(2, ns)) + 1j * rng.normal(size=(2, ns))
+         ).astype(np.complex64)
+    z0 = pl_ops.zero_history_planes((2,), nbins, ntaps)
+    g1, h1 = spectrometer_pallas(from_complex(x), w2d, nbins, z0)
+    assert h1.re.shape == (2, 0, nbins)
+    w1, _ = pl_ops.spectrometer_planes(
+        pl_ops.dc_remove_planes(from_complex(x)), w2d, nbins)
+    scale = np.abs(to_complex(w1)).max()
+    np.testing.assert_allclose(to_complex(g1), to_complex(w1),
+                               atol=3e-6 * scale)
+    # the (empty) history feeds the next block cleanly
+    g2, h2 = spectrometer_pallas(from_complex(y), w2d, nbins, h1)
+    assert h2.re.shape == (2, 0, nbins)
+
+
+def test_deep_svd_tolerance_follows_ingest_width():
+    """A window full-rank at the f32 tolerance (1e-7) but factorizable at
+    the int8 kernel's 1e-5 must count as deep-SVD-capable ONLY for int8
+    engines — 'auto' has to match the tolerance _fx_call will actually
+    factorize at (r2 review finding)."""
+    from fxtpu.fx import _deep_svd_applies
+    rng = np.random.default_rng(0)
+    ntaps, nbins = 32, 256
+    u = rng.normal(size=(ntaps, 6))
+    v = rng.normal(size=(6, nbins))
+    w = u @ v
+    s0 = np.linalg.svd(w, compute_uv=False)[0]
+    # noise singular values ~1e-6*s0: above 1e-7 (full rank at f32 tol),
+    # below 1e-5 (rank 6 at the int8 tol)
+    sigma = 1e-6 * s0 / (np.sqrt(ntaps) + np.sqrt(nbins))
+    w = w + sigma * rng.normal(size=w.shape)
+    ss = np.linalg.svd(w, compute_uv=False)
+    assert np.sum(ss > 1e-7 * ss[0]) >= ntaps      # full rank at f32 tol
+    assert np.sum(ss > 1e-5 * ss[0]) < ntaps       # factorizable at int8
+    assert not _deep_svd_applies(w, nbins, int8=False)
+    assert _deep_svd_applies(w, nbins, int8=True)

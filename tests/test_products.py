@@ -119,3 +119,21 @@ def test_reads_reference_written_file(tmp_path):
     assert md["mode"] == "SPECTRUM" and md["gain"] == "49.6"
     assert data.shape == (nbins,)
     np.testing.assert_allclose(data.imag, 1.0)
+
+
+def test_visualize_single_spectrum_row():
+    """A one-row SPECTRUM product loads 1-D (np.loadtxt squeezes);
+    visualize must promote it to a [1, nbins] waterfall instead of
+    crashing with IndexError (r2 review finding)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from fxtpu.post_process import visualize
+    rng = np.random.default_rng(1)
+    vis = (rng.normal(size=64) + 1j * rng.normal(size=64))
+    fig = visualize(vis, rate=2.4e6, fc=1.42e9, nfft=64, mode="SPECTRUM",
+                    show=False)
+    assert fig is not None
+    vis2 = rng.normal(size=(5, 64)) + 1j * rng.normal(size=(5, 64))
+    fig = visualize(vis2, rate=2.4e6, fc=1.42e9, nfft=64, mode="SPECTRUM",
+                    show=False)
+    assert fig is not None
