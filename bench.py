@@ -36,7 +36,8 @@ _CHIP_PEAKS = {
 
 
 def roofline(samples_per_s: float, *, nbins: int, ntaps: int, nchan: int,
-             n_baselines: int, device_kind: str):
+             n_baselines: int, device_kind: str,
+             bytes_per_sample: float = 8.0):
     """Flops/bytes model of the fused FX step -> measured MFU + HBM use.
 
     Model (per aggregate sample, from the kernel structure in
@@ -47,8 +48,9 @@ def roofline(samples_per_s: float, *, nbins: int, ntaps: int, nchan: int,
         contracting n1 then n2 -> 24*(n1+n2) flops/sample.
       * VPU (f32): FIR 4*ntaps, twiddle ~6, X-stage 8*nbl/nch,
         DC/means ~4.
-      * HBM: the input is read once (8 B/sample as f32 planes); outputs
-        are O(nbl*nbins) per block — negligible.
+      * HBM: the input is read once — ``bytes_per_sample`` is 8 for f32
+        planes, 2 for int8-NATIVE packed words (1 B re + 1 B im);
+        outputs are O(nbl*nbins) per block — negligible.
 
     MFU is quoted against the chip's dense bf16 peak (MXU flops only —
     the VPU terms are unavoidable non-matmul work, reported separately).
@@ -62,12 +64,13 @@ def roofline(samples_per_s: float, *, nbins: int, ntaps: int, nchan: int,
         "model_mxu_flops_per_sample": mxu_per_sample,
         "model_vpu_flops_per_sample": vpu_per_sample,
         "mxu_tflops": round(samples_per_s * mxu_per_sample / 1e12, 2),
-        "hbm_gbps": round(samples_per_s * 8 / 1e9, 1),
+        "hbm_gbps": round(samples_per_s * bytes_per_sample / 1e9, 1),
     }
     if peak:
         bf16_peak, hbm_peak = peak
         out["mfu"] = round(samples_per_s * mxu_per_sample / bf16_peak, 3)
-        out["hbm_frac"] = round(samples_per_s * 8 / hbm_peak, 3)
+        out["hbm_frac"] = round(
+            samples_per_s * bytes_per_sample / hbm_peak, 3)
     return out
 
 
@@ -187,6 +190,8 @@ def bench_pipeline(block_pow: int = 21, nbins: int = 4096, nchan: int = 2,
 
         from fxtpu.fx import FxEngine
 
+        from fxtpu.ops.planes import pack_delays
+
         eng = FxEngine(cfg)
         k = blocks_per_dispatch
         if ingest == "int8":
@@ -194,13 +199,18 @@ def bench_pipeline(block_pow: int = 21, nbins: int = 4096, nchan: int = 2,
         else:
             arr = np.zeros((k, nchan, num_samp), np.complex64)
         hist = eng.fresh_history()
-        _, hist2 = eng.multi_step(eng.prepare_batch(arr),
-                                  jnp.zeros((k, nchan), jnp.float32), hist)
-        _, _ = eng.step(eng.prepare_block(arr[0]),
-                        jnp.zeros((nchan,), jnp.float32), hist)
+        # warm with PRODUCTION avals: the Correlator dispatches PACKED
+        # [..., nch, 2] delays and calibrates via calibrate_block's
+        # flattened-f32 transform — warming plain [k, nch] delays or
+        # framed/packed calibrator input compiles executables the timed
+        # run never uses, and it still pays the first-compile stall
+        dk = jnp.asarray(pack_delays(np.zeros((k, nchan)), cfg.frequency))
+        d1 = jnp.asarray(pack_delays(np.zeros(nchan), cfg.frequency))
+        _, hist2 = eng.multi_step(eng.prepare_batch(arr), dk, hist)
+        _, _ = eng.step(eng.prepare_block(arr[0]), d1, hist)
         ncal = min(cfg.calibrate_samples, num_samp)
         jax.block_until_ready(
-            eng.calibrate(eng.prepare_block(arr[0][:, :ncal])))
+            eng.calibrate_block(eng.prepare_block(arr[0]), ncal))
         del arr
 
         cor = Correlator(config=cfg)
@@ -379,7 +389,9 @@ def main(argv=None):
         "device": str(jax.devices()[0]),
         **roofline(res["samples_per_s"], nbins=kw.get("nbins", 4096),
                    ntaps=kw.get("ntaps", 4), nchan=nchan, n_baselines=nbl,
-                   device_kind=jax.devices()[0].device_kind),
+                   device_kind=jax.devices()[0].device_kind,
+                   bytes_per_sample=(2.0 if kw.get("ingest") == "int8"
+                                     else 8.0)),
     }
     print(json.dumps(out))
 

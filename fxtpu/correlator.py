@@ -185,6 +185,7 @@ class Correlator:
         from fxtpu.runtime.metrics import Metrics
         self.metrics = Metrics()
         self._accumulator = None      # Cplx running sum over blocks
+        self._gcal = None             # memoized multi-host cal program
         self._accumulated = 0
         self.snapshot_path = (config.snapshot_path
                               or self.output_file + ".state.npz")
@@ -314,12 +315,18 @@ class Correlator:
             raise RuntimeError(
                 "num_samp cannot change after streaming has started: the "
                 "ring buffers are sized per block and owned by the feeder")
+        if "nbins" in changes and self.stager is not None:
+            raise RuntimeError(
+                "nbins cannot change while the async stager is running: "
+                "staged batches are framed by the OLD engine's "
+                "prepare_batch and would reach the new step mis-framed")
         self.config = dataclasses.replace(self.config, **changes)
         self.engine = FxEngine(self.config, mesh=self.engine.mesh,
                                impl=self.engine.impl,
                                fused=self.config.fused)
         self.history = self.engine.fresh_history()
         self._accumulator = None
+        self._gcal = None  # closes over the old engine's cal + ncal
         self._accumulated = 0
         self.test_delay_sweep_step = self.config.test_delay_sweep_step
         self.test_delay_offset = self.config.test_delay_offset
@@ -393,8 +400,9 @@ class Correlator:
                                     buf.drops)
 
     def _run_machine(self):
+        from fxtpu.runtime.feeder import StreamDrainTracker
         warned_full = [False] * self.config.nchan
-        dry_gets = 0   # consecutive aligner misses with the feeder dead
+        drain = StreamDrainTracker()
         while True:
             # user input: 'c' requests recalibration (effex.py:332-336)
             if not self.kbd_queue.empty():
@@ -440,23 +448,9 @@ class Correlator:
                                   time.time() - t_fetch)
                 if block is None:
                     feeding = self.feeder is not None and self.feeder.alive
-                    if feeding:
-                        dry_gets = 0
+                    if not drain.miss(feeding, self.bufs):
                         self.logger.debug("Buffers empty, waiting")
                         continue
-                    # Feeder done: rings are static.  One retry absorbs the
-                    # race with its final puts; after that, a non-empty ring
-                    # holds an UNPAIRABLE residual (seq dropped in a sibling
-                    # ring) that can never align — treat as drained rather
-                    # than spinning forever.
-                    dry_gets += 1
-                    if dry_gets < 2 and any(not b.empty()
-                                            for b in self.bufs):
-                        continue
-                    if dry_gets >= 2 and any(not b.empty()
-                                             for b in self.bufs):
-                        self.logger.info("end of stream: discarding "
-                                         "unpairable residual ring blocks")
                     # Feeder done and buffers drained: wait for output drain
                     # then shut down (effex.py:375-385).
                     if self.vis_out.empty():
@@ -470,7 +464,7 @@ class Correlator:
                         time.sleep(0.05)
                     continue
 
-                dry_gets = 0
+                drain.got_block()
                 self._blocks_consumed += 1
                 self.metrics.count("samples_in",
                                    self.config.nchan * self.num_samp)
@@ -560,32 +554,29 @@ class Correlator:
             # FFT xcorr forces the gather internally; delays feed identical
             # host-side pack_delays on every process).
             from jax.sharding import NamedSharding, PartitionSpec as P
-            mesh = self.engine.mesh
-            cal = self.engine.calibrate
+            if self._gcal is None:
+                # memoized: jit caches per function OBJECT, so building a
+                # fresh closure per 'c' recalibration would pay the full
+                # XLA compile (~20 s through the remote-compile tunnel)
+                # every time and stall the lockstep dispatch on all hosts
+                mesh = self.engine.mesh
+                cal = self.engine.calibrate
 
-            def gcal(x):
-                x = jax.tree.map(
-                    lambda a: a.reshape(a.shape[0], -1)[..., :ncal], x)
-                return cal(x)
+                def gcal(x):
+                    x = jax.tree.map(
+                        lambda a: a.reshape(a.shape[0], -1)[..., :ncal], x)
+                    return cal(x)
 
-            out = jax.jit(gcal,
-                          out_shardings=NamedSharding(mesh, P()))(iq)
+                self._gcal = jax.jit(gcal,
+                                     out_shardings=NamedSharding(mesh, P()))
+            out = self._gcal(iq)
             delays = np.asarray(jax.device_get(out), dtype=np.float64)
         else:
-            if jax.tree.leaves(iq)[0].dtype == jnp.int32:
-                # int8-NATIVE engines ship PACKED int32 words (4 bins per
-                # word, ops.pfb_pallas.pack_int8_planes); a packed word
-                # cast to f32 is NOT a sample — unpack to the real planes
-                # BEFORE flattening (unpack restores natural bin order
-                # only within a frame row)
-                from fxtpu.ops.pfb_pallas import _unpack_i8
-                iq = jax.tree.map(lambda a: _unpack_i8(a, jnp.float32), iq)
-            # fused-engine blocks arrive pre-framed [nch, S, nbins]:
-            # flatten back to a sample axis before windowing
-            iq = jax.tree.map(lambda a: a.reshape(a.shape[0], -1), iq)
-            iq = jax.tree.map(lambda a: a[..., : min(ncal, a.shape[-1])],
-                              iq)
-            delays = np.asarray(self.engine.calibrate(iq), dtype=np.float64)
+            # engine.calibrate_block unpacks int8-NATIVE packed words,
+            # flattens framed planes, and windows to ncal samples — the
+            # single calibrate-input transform shared with warm-up code
+            delays = np.asarray(self.engine.calibrate_block(iq, ncal),
+                                dtype=np.float64)
         if self.mode == "TEST":
             delays[1:] -= self.test_delay_offset  # effex.py:578-579
         self.calibrated_delays = delays
@@ -602,8 +593,12 @@ class Correlator:
         delays = jnp.asarray(pack_delays(self.calibrated_delays,
                                          self.frequency))
         vis, self.history = self.engine.step(iq, delays, self.history)
-        if self.config.nchan == 2:
-            vis = vis[0]  # reference-parity: one row per block
+        if len(self.engine.pairs) == 1:
+            # reference-parity: one row per block — ONLY when there is
+            # exactly one baseline (nchan=2 with autos has 3: autos come
+            # FIRST in baseline_pairs, so vis[0] would be the ch0
+            # autospectrum, not the cross visibility)
+            vis = vis[0]
         return vis
 
     @property
@@ -650,8 +645,8 @@ class Correlator:
             self.history)
         for i in range(k):
             v = vis[i]
-            if self.config.nchan == 2:
-                v = v[0]
+            if len(self.engine.pairs) == 1:
+                v = v[0]  # single-baseline squeeze (see _run_task)
             self._emit(v)
 
     # ------------------------------------------------------------------

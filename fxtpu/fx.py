@@ -244,7 +244,12 @@ def make_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
             mode=mode, nbins=nbins, w2d=w2d, pairs_a=pairs_a,
             bandwidth=bandwidth, frequency=frequency, use_fused=use_fused,
             quant_step=quant_step)
-        return jax.jit(core)
+        fn = jax.jit(core)
+        # introspectable path tag (the sharded builder sets the same one):
+        # FxEngine.fused_active reads THIS, so the ingest layout decision
+        # can never drift from what the compiled step actually runs
+        fn.fused_kernel = use_fused
+        return fn
 
     if impl != "complex":
         raise ValueError(f"unknown impl {impl}")
@@ -310,8 +315,7 @@ def make_fx_multi_step(*, mode: str, nbins: int, window2d: np.ndarray,
         # carrying the tap history in VMEM scratch.  A scan would pay a
         # full HBM copy per iteration just to slice its input (measured
         # ~82 us/block at the flagship shape, ~20% of the step).
-        pairs_np = np.asarray(pairs_a)
-        continuum = mode in ("CONTINUUM", "TEST")
+        pairs_np = np.asarray(pairs)
 
         @jax.jit
         def multi_fused(iq: Cplx, delays, history):
@@ -452,14 +456,15 @@ class FxEngine:
             int8_ingest=cfg.ingest_dtype == "int8"))
         self.calibrate = make_calibrator(bandwidth=cfg.bandwidth, impl=impl)
         self._multi_step = None
-        self._fused_active = (
-            impl == "planes" and mesh is None
-            and _resolve_fused(
-                fused, cfg.nbins, cfg.ntaps, cfg.num_samp // cfg.nbins,
-                cfg.nchan,
-                deep_svd=_deep_svd_applies(
-                    self.window2d, cfg.nbins,
-                    int8=cfg.ingest_dtype == "int8")))
+        # read the path tag OFF THE BUILT STEP (make_fx_step sets
+        # .fused_kernel from its own _resolve_fused call) rather than
+        # re-deriving the predicate here — one decision site, so the
+        # ingest layout can never disagree with the compiled step.  The
+        # sharded (mesh) step tags fused_kernel too, but its ingest is
+        # the put_block path, not the merged layout: keep mesh excluded.
+        self._fused_active = (impl == "planes" and mesh is None
+                              and bool(getattr(self.step, "fused_kernel",
+                                               False)))
 
     @property
     def multi_step(self):
@@ -604,11 +609,38 @@ class FxEngine:
         im = im[..., : s * nbins].reshape(*im.shape[:-1], s, nbins)
         return Cplx(jnp.asarray(re), jnp.asarray(im))
 
+    def calibrate_block(self, iq, ncal: Optional[int] = None):
+        """Delay calibration from a prepared SINGLE-BLOCK input, in
+        whatever form :meth:`prepare_block` returned it: int8-NATIVE
+        packed words are unpacked to real sample planes, framed planes
+        are flattened back to a sample axis, and the leading ``ncal``
+        samples feed the jitted calibrator.  This is the one transform
+        the Correlator's local calibration path uses — warm-up code must
+        call it too, or it compiles a different executable than
+        production runs."""
+        if jax.tree.leaves(iq)[0].dtype == jnp.int32:
+            # packed int32 words (4 bins each) are NOT samples
+            from fxtpu.ops.pfb_pallas import _unpack_i8
+            iq = jax.tree.map(lambda a: _unpack_i8(a, jnp.float32), iq)
+        iq = jax.tree.map(lambda a: a.reshape(a.shape[0], -1), iq)
+        if ncal:
+            iq = jax.tree.map(lambda a: a[..., : min(ncal, a.shape[-1])],
+                              iq)
+        return self.calibrate(iq)
+
     def example_inputs(self, seed: int = 0):
-        """Representative (iq, delays, history) inputs for compile checks."""
+        """Representative (iq, delays, history) inputs for compile checks.
+        int8 engines get int8 quantized blocks — the step's input form
+        (and for int8-NATIVE, the dict history) must match the ingest
+        dtype or the kernel routing disagrees with the data."""
         rng = np.random.default_rng(seed)
-        iq = (rng.normal(size=(self.cfg.nchan, self.cfg.num_samp))
-              + 1j * rng.normal(size=(self.cfg.nchan, self.cfg.num_samp))
-              ).astype(np.complex64)
+        if self.cfg.ingest_dtype == "int8":
+            iq = rng.integers(
+                -127, 128, size=(self.cfg.nchan, self.cfg.num_samp, 2)
+            ).astype(np.int8)
+        else:
+            iq = (rng.normal(size=(self.cfg.nchan, self.cfg.num_samp))
+                  + 1j * rng.normal(size=(self.cfg.nchan, self.cfg.num_samp))
+                  ).astype(np.complex64)
         delays = jnp.zeros(self.cfg.nchan, dtype=jnp.float32)
         return self.prepare_block(iq), delays, self.fresh_history()

@@ -195,6 +195,36 @@ class Feeder:
                 return
 
 
+class StreamDrainTracker:
+    """End-of-stream detector shared by the async stager and the unstaged
+    main loop.  Once the feeder is done the rings are STATIC, so one
+    retry absorbs the race with its final puts, and a second consecutive
+    aligner miss means any remaining blocks are an UNPAIRABLE residual
+    (a seq dropped in a sibling ring) that can never align — waiting on
+    ``not empty()`` would spin forever."""
+
+    def __init__(self):
+        self._dry = 0
+
+    def got_block(self):
+        self._dry = 0
+
+    def miss(self, feeding: bool, bufs) -> bool:
+        """Record an aligner miss.  True when the stream is DONE: drained,
+        or permanently stuck on an unpairable residual."""
+        if feeding:
+            self._dry = 0
+            return False
+        self._dry += 1
+        if not any(not b.empty() for b in bufs):
+            return True  # drained
+        if self._dry >= 2:
+            logger.info("end of stream: discarding unpairable residual "
+                        "ring blocks")
+            return True
+        return False     # one retry to absorb the final-put race
+
+
 class BlockAligner:
     """Re-pairs per-channel blocks by sequence number.
 

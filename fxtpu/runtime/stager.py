@@ -111,29 +111,18 @@ class DeviceStager:
         return item
 
     def _gather(self) -> List[np.ndarray]:
-        """Collect up to ``batch`` aligned blocks; short list at stream end."""
+        """Collect up to ``batch`` aligned blocks; short list at stream
+        end (StreamDrainTracker decides when a miss means done)."""
+        from fxtpu.runtime.feeder import StreamDrainTracker
         blocks: List[np.ndarray] = []
-        dry = 0
+        drain = StreamDrainTracker()
         while len(blocks) < self.batch and not self._stop.is_set():
             blk = self.aligner.get(timeout=0.05)
             if blk is None:
-                if self.feeding():
-                    dry = 0
-                    continue  # upstream still alive; keep waiting
-                # Feeder done: the rings are static.  One more attempt
-                # absorbs the race with the feeder's final puts; a second
-                # consecutive miss means whatever remains is an UNPAIRABLE
-                # residual (e.g. a seq dropped in a sibling ring) that can
-                # never align — waiting on `not empty()` would spin forever
-                # and the end-of-stream sentinel would never be emitted.
-                dry += 1
-                if dry >= 2:
-                    if any(not b.empty() for b in self.aligner.bufs):
-                        logger.info("end of stream: discarding unpairable "
-                                    "residual ring blocks")
-                    break  # drained and done
+                if drain.miss(self.feeding(), self.aligner.bufs):
+                    break  # drained (or unpairable residual) and done
             else:
-                dry = 0
+                drain.got_block()
                 blocks.append(blk)
         return blocks
 

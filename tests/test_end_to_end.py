@@ -463,3 +463,22 @@ def test_int8_native_fused_end_to_end(tmp_path):
     # the periodic snapshot captured the dict history
     import os
     assert os.path.exists(cor.snapshot_path)
+
+
+def test_nchan2_with_autos_emits_all_baselines(tmp_path):
+    """nchan=2 + include_autos has THREE baselines — (0,0), (1,1), (0,1),
+    autos first — so the single-row reference-parity squeeze must not
+    apply: squeezing vis[0] would write the channel-0 AUTOSPECTRUM as the
+    product and silently discard the cross visibility (r2 review
+    finding)."""
+    cor = run_correlator(tmp_path, mode="SPECTRUM", nchan=2,
+                         include_autos=True, synthetic_delay=1e-6)
+    assert len(cor.engine.pairs) == 3
+    _, data = load_products(cor.output_file)
+    assert data.shape == (3 * cor.blocks_processed, 2**10)
+    # rows come in (auto0, auto1, cross) triples: autos are real and
+    # positive, the cross is genuinely complex
+    auto0 = data[0::3]
+    cross = data[2::3]
+    assert np.abs(auto0.imag).max() < 1e-3 * np.abs(auto0.real).max()
+    assert np.abs(cross.imag).max() > 1e-3 * np.abs(cross.real).max()
