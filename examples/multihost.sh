@@ -12,6 +12,12 @@ ARGS="--source replay --replay_file $REC --num_samp 16384 --resolution 256 \
       --mode spectrum --omit_plot --no_keyboard --output /tmp/vis_mh.csv \
       --num_processes 2 --coordinator $COORD --local_devices 4"
 python -m fxtpu $ARGS --process_id 1 &
+RANK1=$!
+# if rank 0 dies, don't orphan rank 1 holding the coordinator port
+trap 'kill $RANK1 2>/dev/null' EXIT
 python -m fxtpu $ARGS --process_id 0
-wait
+# bare `wait` always exits 0 — wait on the PID so a rank-1 failure fails
+# the script instead of printing a success line over a partial product
+wait $RANK1
+trap - EXIT
 echo "product: /tmp/vis_mh.csv"

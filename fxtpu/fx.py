@@ -540,6 +540,25 @@ class FxEngine:
         device-resident array is a tiled-layout change costing a full HBM
         round trip (see fx_pallas_raw_multi)."""
         if self.impl == "planes":
+            if (self.cfg.ingest_dtype == "int8"
+                    and isinstance(block, np.ndarray)
+                    and np.issubdtype(block.dtype, np.complexfloating)):
+                # int8 engine handed COMPLEX samples (no QuantizedSource
+                # upstream): quantize here at cfg.quant_step — the step
+                # expects int8-form input (int8-NATIVE engines pair a
+                # packed slab with the dict history; f32 planes would
+                # route to the wrong kernel)
+                if self.int8_native:
+                    # one native pass: quantize + deinterleave + pack
+                    from fxtpu.runtime.native import quant_pack_planes_c64
+                    re, im = quant_pack_planes_c64(
+                        np.ascontiguousarray(block, np.complex64),
+                        self.cfg.nbins, self.cfg.quant_step)
+                    return Cplx(jnp.asarray(re), jnp.asarray(im))
+                from fxtpu.runtime.native import quantize_c64
+                block = quantize_c64(
+                    np.ascontiguousarray(block, np.complex64),
+                    self.cfg.quant_step)
             if (isinstance(block, np.ndarray) and block.dtype == np.int8
                     and block.shape[-1] == 2):
                 # 8-bit quantized ingest [..., nch, num_samp, 2]: ship the
@@ -596,6 +615,15 @@ class FxEngine:
             return self.prepare_block(np.stack(blocks))
         arr = np.stack(blocks, axis=1)   # [nch, K, num_samp(, 2)]
         nbins = self.cfg.nbins
+        if (self.cfg.ingest_dtype == "int8"
+                and np.issubdtype(arr.dtype, np.complexfloating)):
+            # complex blocks into an int8-NATIVE engine: quantize + pack
+            # in one native pass (see prepare_block)
+            from fxtpu.runtime.native import quant_pack_planes_c64
+            re, im = quant_pack_planes_c64(
+                np.ascontiguousarray(arr, np.complex64), nbins,
+                self.cfg.quant_step)
+            return Cplx(jnp.asarray(re), jnp.asarray(im))
         if arr.dtype == np.int8 and arr.shape[-1] == 2:
             # fused + int8 ingest is always int8-NATIVE: packed words
             from fxtpu.runtime.native import pack_planes_i8

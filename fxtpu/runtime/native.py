@@ -175,6 +175,32 @@ def pack_planes_i8(block: np.ndarray, nbins: int):
             pack_int8_planes(np.ascontiguousarray(framed[..., 1])))
 
 
+def quant_pack_planes_c64(block: np.ndarray, nbins: int, quant_step: float):
+    """complex64 ``[..., rows*nbins]`` samples -> per-plane PACKED int32
+    words ``[..., rows, nbins//4]`` quantized at ``quant_step`` — the
+    int8-NATIVE kernel's H2D form straight from complex samples, in ONE
+    native pass (quantize + deinterleave + frame + pack) instead of the
+    quantize_c64 -> pack_planes_i8 two-pass chain.  Used when an
+    int8-ingest engine is handed complex blocks directly (e.g. a replay
+    or synthetic source without a QuantizedSource wrapper)."""
+    rows = block.shape[-1] // nbins
+    lead = block.shape[:-1]
+    lib = _dataplane()
+    if (lib is not None and hasattr(lib, "fx_quant_pack_c64")
+            and block.dtype == np.complex64 and block.flags.c_contiguous
+            and nbins % 4 == 0 and block.shape[-1] == rows * nbins):
+        n_lead = int(np.prod(lead, dtype=np.int64)) if lead else 1
+        re = np.empty((*lead, rows, nbins // 4), np.int32)
+        im = np.empty((*lead, rows, nbins // 4), np.int32)
+        lib.fx_quant_pack_c64(_ptr(block), _ptr(re), _ptr(im),
+                              n_lead * rows, nbins,
+                              1.0 / float(quant_step))
+        return re, im
+    q = quantize_c64(np.ascontiguousarray(block[..., : rows * nbins],
+                                          dtype=np.complex64), quant_step)
+    return pack_planes_i8(q, nbins)
+
+
 def native_available() -> bool:
     return _load() is not None
 

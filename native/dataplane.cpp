@@ -21,6 +21,8 @@ namespace {
 
 inline int8_t quant1(float x, float inv) {
     float v = std::nearbyintf(x * inv);
+    if (v != v) return 0;  // NaN: defined result matching the numpy
+                           // fallback's cast (float->int8 of NaN is UB)
     if (v > 127.f) v = 127.f;
     if (v < -127.f) v = -127.f;
     return static_cast<int8_t>(v);

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("/root/.cache/fxtpu_xla"))
+                  os.path.expanduser("~/.cache/fxtpu_xla"))
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -25,16 +25,18 @@ STAGE = os.environ.get("STAGE", "full")
 CMM = int(os.environ.get("CMM", "0"))  # 1=combined matmul, 2=transpose-free
 SPLITDMA = os.environ.get("SPLITDMA", "0") == "1"
 GRIDK = os.environ.get("GRIDK", "0") == "1"  # K in the pallas grid, no scan
-PROD = os.environ.get("PROD", "0") == "1"    # unpadded input + t==0 head copy
-ALT = os.environ.get("ALT", "0") == "1"      # alternate head/full copy shapes
+ALT = os.environ.get("ALT", "0") == "1"      # two-shape head/full DMA (the
+                                             # old production copy structure)
 TWOIN = os.environ.get("TWOIN", "0") == "1"  # separate re/im input arrays
 HOUT = os.environ.get("HOUT", "0") == "1"    # second (history) output
 
+# the kernel's ref unpacking only implements these combinations
+if TWOIN and not GRIDK:
+    raise SystemExit("TWOIN=1 requires GRIDK=1")
+if HOUT and not (TWOIN and GRIDK):
+    raise SystemExit("HOUT=1 requires TWOIN=1 GRIDK=1")
 
-def _dot3(x_hi, x_lo, m_hi, m_lo):
-    kw = dict(preferred_element_type=jnp.float32)
-    return (jnp.dot(x_hi, m_hi, **kw) + jnp.dot(x_hi, m_lo, **kw)
-            + jnp.dot(x_lo, m_hi, **kw))
+from fxtpu.ops.pfb_pallas import _dot3  # the production contraction
 
 
 def _cdot3_cmm(xr, xi, m_hi, m_lo, n):
@@ -87,15 +89,6 @@ def kernel(*refs):
                     xim_ref.at[kk, :, pl.ds(start, pad + TILE)],
                     slab.at[slot, :, 1], sems.at[slot, 1]),
             ]
-        if GRIDK and PROD:
-            # unpadded input: t==0 copies TILE rows into the slab's data
-            # sub-window; t>0 copies the full pad+TILE span
-            if tt == 0 if isinstance(tt, int) else False:
-                pass
-            return [pltpu.make_async_copy(
-                x_ref.at[kk, :, :, pl.ds(pl.multiple_of(tt * TILE, 8),
-                                         TILE)],
-                slab.at[slot, :, :, pl.ds(pad, TILE)], sems.at[slot, 0])]
         if GRIDK:
             if not SPLITDMA:
                 return [pltpu.make_async_copy(
@@ -197,8 +190,10 @@ def kernel(*refs):
             f3i = fir_im.reshape(TILE, N1, N2)
             kw = dict(preferred_element_type=jnp.float32)
             brs, bis = [], []
-            for g in range(TILE):
-                x2 = jnp.concatenate([f3r[g], f3i[g]], axis=0)  # [2*N1, N2]
+            # NB: do not shadow the grid-global `g` — the HOUT epilogue's
+            # pl.when(g == total - 1) must see the traced index
+            for fr in range(TILE):
+                x2 = jnp.concatenate([f3r[fr], f3i[fr]], axis=0)  # [2N1, N2]
                 hi, lo = _split_bf16(x2)
                 a = (jnp.dot(c1h[:], hi, **kw) + jnp.dot(c1l[:], hi, **kw)
                      + jnp.dot(c1h[:], lo, **kw))
@@ -400,12 +395,19 @@ def main():
             size=(K, NCH, 2, S + _halo_pad(NTAPS), NBINS)
             ).astype(np.float32)),)
     multi = build()
+
+    def sync(o):
+        # block_until_ready does NOT synchronize Pallas outputs through
+        # the remote-device tunnel — force a scalar readback or the
+        # numbers are enqueue rates, not execution (see CLAUDE.md)
+        return float(jnp.sum(jax.tree.leaves(o)[0]))
+
     out = multi(*args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(5):
         out = multi(*args)
-    jax.block_until_ready(out)
+    sync(out)
     dt = (time.perf_counter() - t0) / 5 / K
     gs = NCH * S * NBINS / dt / 1e9
     print(f"STAGE={STAGE}: {dt*1e3:.3f} ms/block  ({gs:.2f} GS/s)")

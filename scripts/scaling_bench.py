@@ -53,15 +53,24 @@ def measure(n_dev: int, mesh_freq: int, block_pow: int, nbins: int,
     delays = jnp.zeros((2,), jnp.float32)
     hist = eng.fresh_history()
 
+    def sync(v):
+        # scalar readback: block_until_ready does NOT synchronize Pallas
+        # outputs through the remote-device tunnel (CLAUDE.md) — without
+        # this the sweep reports enqueue rates, not execution
+        import jax.numpy as _jnp
+
+        import jax as _jax
+        return float(_jnp.sum(_jax.tree.leaves(v)[0]))
+
     vis, hist = eng.step(iq, delays, hist)
-    jax.block_until_ready(vis)
+    sync(vis)
     for _ in range(warmup):
         vis, hist = eng.step(iq, delays, hist)
-    jax.block_until_ready(vis)
+    sync(vis)
     t0 = time.perf_counter()
     for _ in range(iters):
         vis, hist = eng.step(iq, delays, hist)
-    jax.block_until_ready(vis)
+    sync(vis)
     dt = time.perf_counter() - t0
     return 2 * num_samp * iters / dt
 

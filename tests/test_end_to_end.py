@@ -482,3 +482,42 @@ def test_nchan2_with_autos_emits_all_baselines(tmp_path):
     cross = data[2::3]
     assert np.abs(auto0.imag).max() < 1e-3 * np.abs(auto0.real).max()
     assert np.abs(cross.imag).max() > 1e-3 * np.abs(cross.real).max()
+
+
+def test_int8_engine_accepts_complex_blocks():
+    """An int8-ingest engine handed COMPLEX samples (no QuantizedSource
+    upstream) quantizes at cfg.quant_step itself — f32 planes paired
+    with the int8-native dict history would route to the wrong kernel
+    (r2 review finding).  The result must equal feeding the explicitly
+    quantized int8 block."""
+    import jax.numpy as jnp
+
+    from fxtpu.fx import FxEngine
+    from fxtpu.ops.cplx import to_complex
+    from fxtpu.runtime.native import quantize_c64
+    step = 1.0 / 32
+    for fused in ("auto", True):
+        cfg = CorrelatorConfig(mode="SPECTRUM", num_samp=2**13, nbins=256,
+                               clamp_num_samp=False, ingest_dtype="int8",
+                               quant_step=step, fused=fused)
+        eng = FxEngine(cfg)
+        rng = np.random.default_rng(4)
+        blk = (rng.normal(size=(2, cfg.num_samp))
+               + 1j * rng.normal(size=(2, cfg.num_samp))
+               ).astype(np.complex64)
+        q = quantize_c64(blk, step)
+        delays = jnp.asarray([0.0, 1e-7], jnp.float32)
+        v_c, _ = eng.step(eng.prepare_block(blk), delays,
+                          eng.fresh_history())
+        v_q, _ = eng.step(eng.prepare_block(q), delays,
+                          eng.fresh_history())
+        np.testing.assert_array_equal(np.asarray(to_complex(v_c)),
+                                      np.asarray(to_complex(v_q)))
+        # batch path too (fused engines stage the merged packed layout)
+        if eng.fused_active:
+            b_c = eng.prepare_batch([blk, blk])
+            b_q = eng.prepare_batch([q, q])
+            np.testing.assert_array_equal(np.asarray(b_c.re),
+                                          np.asarray(b_q.re))
+            np.testing.assert_array_equal(np.asarray(b_c.im),
+                                          np.asarray(b_q.im))

@@ -576,3 +576,30 @@ def test_native_put_timeout_none_blocks():
     seq = rb.put(np.ones(4, np.float32))   # must block, then succeed
     t.join()
     assert seq == 1
+
+
+@pytest.mark.skipif(native._dataplane() is None,
+                    reason="native data plane not built")
+def test_quant_pack_c64_matches_two_pass():
+    """fx_quant_pack_c64 (one-pass quantize+deinterleave+pack) must equal
+    quantize_c64 -> pack_planes_i8, including NaN/Inf samples (NaN -> 0,
+    +/-Inf -> +/-127, matching the numpy fallback's clip/cast)."""
+    rng = np.random.default_rng(7)
+    nbins, rows = 64, 6
+    blk = (rng.normal(size=(2, rows * nbins)) * 3
+           + 1j * rng.normal(size=(2, rows * nbins))
+           ).astype(np.complex64)
+    blk[0, 5] = np.nan + 1j * np.inf
+    blk[1, 9] = -np.inf + 0j
+    step = 1.0 / 32
+    re1, im1 = native.quant_pack_planes_c64(blk, nbins, step)
+    q = native.quantize_c64(blk, step)
+    re2, im2 = native.pack_planes_i8(q, nbins)
+    np.testing.assert_array_equal(re1, re2)
+    np.testing.assert_array_equal(im1, im2)
+    # and the pure-numpy fallback agrees (force it via a non-contiguous
+    # transposed view that disqualifies the native path)
+    blk_f = np.asfortranarray(blk)
+    re3, im3 = native.quant_pack_planes_c64(blk_f.T.T, nbins, step)
+    np.testing.assert_array_equal(re3, re1)
+    np.testing.assert_array_equal(im3, im1)
