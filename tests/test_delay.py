@@ -46,15 +46,26 @@ def test_fractional_delay_recovery(rng, frac):
     assert abs(frac - est * rate) < 0.3
 
 
-def test_peak_at_edge_does_not_crash(rng):
-    """An argmax at the array edge must clamp, not read OOB
-    (reference TODO at effex.py:619-622)."""
+def test_peak_at_edge_clamps_and_stays_accurate(rng):
+    """An argmax at the LAST xcorr bin (index 2n-1) must clamp the
+    3-point stencil into the interior instead of reading OOB (reference
+    TODO at effex.py:619-622).  Impulses at opposite ends genuinely put
+    the peak on the edge (verified: argmax == 2n-1); the old
+    ``roll(x, n)`` construction was the identity, whose peak lands at
+    the exact CENTER, so it never exercised this path.  jnp's clamped
+    gather makes the OOB read non-crashing either way — the assertion
+    is that the clamped stencil still recovers the true -(n-1) lag to
+    within a few samples."""
     n = 256
-    iq_0 = complex_noise(rng, n)
-    iq_1 = np.roll(iq_0, n)  # lag n -> peak lands at shifted index 0
+    iq_0 = np.zeros(n, np.complex64)
+    iq_1 = np.zeros(n, np.complex64)
+    iq_0[n - 1] = 1.0   # iq_1 LEADS by n-1 samples -> lag -(n-1),
+    iq_1[0] = 1.0       # fftshifted xcorr index 2n-1 (the edge)
+    rate = 2.4e6
     est = float(estimate_delay_gaussian(jnp.asarray(iq_0), jnp.asarray(iq_1),
-                                        2.4e6))
+                                        rate))
     assert np.isfinite(est)
+    assert abs(est * rate - (-(n - 1))) < 2.5
 
 
 def test_test_mode_offset_subtraction(rng):

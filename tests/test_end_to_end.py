@@ -27,7 +27,7 @@ def run_correlator(tmp_path, **kw):
 
 def test_spectrum_run_end_to_end(tmp_path):
     cor = run_correlator(tmp_path, mode="SPECTRUM", synthetic_delay=2e-6)
-    assert cor.state == "OFF" or cor.state == "SHUTDOWN" or True
+    assert cor.state == "SHUTDOWN"  # the machine ended through shutdown
     md, data = load_products(cor.output_file)
     assert md["mode"] == "SPECTRUM"
     assert data.ndim == 2 and data.shape[1] == 2**10
@@ -179,8 +179,16 @@ def test_continuum_run_end_to_end(tmp_path):
     md, data = load_products(cor.output_file)
     assert md["mode"] == "CONTINUUM"
     assert data.ndim == 1 and len(data) == cor.blocks_processed
-    # correlated channels at snr=10: visibility amplitude well above zero
-    assert np.all(np.abs(data) > 0)
+    # correlated channels at snr=10: the block visibilities are COHERENT
+    # — a common phase (the carrier-phase residual of the sub-sample
+    # calibration error; ~1.15 rad here) with tiny scatter, and stable
+    # amplitude.  A decorrelation regression gives random phases
+    # (std ~ pi/sqrt(3)) and wildly varying amplitudes; the old
+    # `|data| > 0` oracle was satisfied by pure noise.
+    ph = np.angle(data)
+    assert np.std(np.angle(np.exp(1j * (ph - ph[0])))) < 0.1
+    amps = np.abs(data)
+    assert amps.min() > 0.5 * amps.max()
 
 
 def test_replay_run_matches_defined_length(tmp_path):
@@ -465,13 +473,17 @@ def test_int8_native_fused_end_to_end(tmp_path):
     assert os.path.exists(cor.snapshot_path)
 
 
-def test_nchan2_with_autos_emits_all_baselines(tmp_path):
+@pytest.mark.parametrize("fused", ["auto", True])
+def test_nchan2_with_autos_emits_all_baselines(tmp_path, fused):
     """nchan=2 + include_autos has THREE baselines — (0,0), (1,1), (0,1),
     autos first — so the single-row reference-parity squeeze must not
     apply: squeezing vis[0] would write the channel-0 AUTOSPECTRUM as the
     product and silently discard the cross visibility (r2 review
-    finding)."""
-    cor = run_correlator(tmp_path, mode="SPECTRUM", nchan=2,
+    finding).  fused=True runs the Pallas kernel's in-kernel X loop over
+    the auto (p == q) pairs — 'auto' resolves to the XLA fallback on CPU,
+    so without the explicit variant the fused autos path has no
+    coverage."""
+    cor = run_correlator(tmp_path, mode="SPECTRUM", nchan=2, fused=fused,
                          include_autos=True, synthetic_delay=1e-6)
     assert len(cor.engine.pairs) == 3
     _, data = load_products(cor.output_file)

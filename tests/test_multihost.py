@@ -100,10 +100,16 @@ def test_two_process_correlator_product_matches(tmp_path):
                      ["--recording", rec, "--out", mh_csv,
                       "--nbins", str(NBINS), "--num_samp", str(NUM_SAMP)])
     assert all(r.returncode == 0 for r in results)
-    # worker 0 logs the calibrated delays — the injected 2.5 us must be
-    # recovered by the in-graph multi-host calibration too
+    # worker 0 prints the calibrated delays — the injected 2.5 us must be
+    # recovered by the in-graph multi-host calibration too (assert the
+    # VALUE, not just that the run finished)
     w0 = next(r.stdout for r in results if "[correlate worker 0]" in r.stdout)
     assert "blocks=3" in w0, w0[-500:]
+    import re
+    m = re.search(r"delays_us=\[([^\]]+)\]", w0)
+    assert m, w0[-500:]
+    mh_delay_us = float(m.group(1).split()[-1])
+    assert abs(mh_delay_us - 2.5) < 0.5 / 2.4e6 * 1e6  # 0.5-sample oracle
 
     meta_ref, data_ref = load_products(ref_csv)
     meta_mh, data_mh = load_products(mh_csv)

@@ -254,10 +254,10 @@ def test_multi_step_matches_sequential():
 # fused Pallas F-stage (interpret mode on CPU)
 # ---------------------------------------------------------------------------
 class TestFusedPallas:
-    def _mk(self, nch=2, ns=2**13, nbins=256, ntaps=4):
+    def _mk(self, nch=2, ns=2**13, nbins=256, ntaps=4, seed=0):
         from fxtpu.ops.window import pfb_window as _w
         w2d = jnp.asarray(_w(ntaps, nbins).reshape(ntaps, nbins), jnp.float32)
-        rng = np.random.default_rng(0)
+        rng = np.random.default_rng(seed)
         x = (rng.normal(size=(nch, ns)) + 1j * rng.normal(size=(nch, ns))
              ).astype(np.complex64)
         return w2d, x
@@ -267,7 +267,10 @@ class TestFusedPallas:
         nbins, ntaps = 256, 4
         assert supported(nbins, ntaps, 2**13 // nbins)
         w2d, x = self._mk()
-        _, y = self._mk()
+        # a DIFFERENT second block: with y == x the carried-history
+        # assertion couldn't distinguish real history from the current
+        # block's own tail rows
+        _, y = self._mk(seed=1)
         z0 = pl_ops.zero_history_planes((2,), nbins, ntaps)
         g1, h1 = spectrometer_pallas(from_complex(x), w2d, nbins, z0)
         w1, hw1 = pl_ops.spectrometer_planes(
@@ -535,12 +538,17 @@ class TestInt8NativeFused:
         # raw tail travels packed: int32 words, 4 bins each
         assert isinstance(hq, dict) and hq["tail"].re.dtype == jnp.int32
         assert hq["tail"].re.shape[-1] == self.NBINS // 4
-        for b, bf in zip(blocks, deq):
+        # EVERY block must match the oracle — the fresh-history first
+        # dispatch (all-zero packed tail, mu_prev = 0) and the carried-
+        # tail steady state are different kernel paths; checking only the
+        # last block would let a first-block-only bug through
+        for i, (b, bf) in enumerate(zip(blocks, deq)):
             vq, hq = eng_q.step(eng_q.prepare_block(b), d, hq)
             vf, hf = eng_f.step(eng_f.prepare_block(bf), d, hf)
-        cq, cf = to_complex(vq), to_complex(vf)
-        scale = np.abs(cf).max()
-        np.testing.assert_allclose(cq / scale, cf / scale, atol=3e-5)
+            cq, cf = to_complex(vq), to_complex(vf)
+            scale = np.abs(cf).max()
+            np.testing.assert_allclose(cq / scale, cf / scale, atol=3e-5,
+                                       err_msg=f"block {i}")
 
     def test_multi_step_matches_sequential(self):
         eng_q, _ = self._engines()
@@ -711,3 +719,27 @@ def test_deep_svd_tolerance_follows_ingest_width():
     assert np.sum(ss > 1e-5 * ss[0]) < ntaps       # factorizable at int8
     assert not _deep_svd_applies(w, nbins, int8=False)
     assert _deep_svd_applies(w, nbins, int8=True)
+
+
+def test_resolve_fused_auto_routing(monkeypatch):
+    """The production 'auto' routing decision (fx._resolve_fused): ON for
+    every supported shape on TPU — shallow taps unconditionally, deep
+    taps only with the SVD factorization — and OFF on CPU.  CPU tests
+    always see auto=off, so without pinning this the TPU-side predicate
+    could invert with zero failing tests."""
+    import jax as _jax
+
+    from fxtpu.fx import _resolve_fused
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    assert _resolve_fused("auto", 4096, 4, 512)          # flagship
+    assert _resolve_fused("auto", 8192, 16, 256)         # shallow cap
+    assert _resolve_fused("auto", 8192, 32, 256, deep_svd=True)
+    assert not _resolve_fused("auto", 8192, 32, 256, deep_svd=False)
+    # unsupported shapes refuse even when forced
+    assert not _resolve_fused(True, 4096, 1, 512)        # ntaps < 2
+    assert not _resolve_fused("auto", 4096, 4, 7)        # no valid tile
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "cpu")
+    assert not _resolve_fused("auto", 4096, 4, 512)      # auto off on CPU
+    assert _resolve_fused(True, 4096, 4, 512)            # explicit force

@@ -22,8 +22,6 @@ def test_spectrum_header_and_rows(tmp_csv):
     assert header.startswith("run_time:1.0,bandwidth:2400000.0,"
                              "frequency:1420400000.0,num_samp:16384,"
                              "resolution:1024,gain:49.6,mode:SPECTRUM")
-    freqs = np.fromstring(freq_row, sep=",") if hasattr(np, "fromstring") \
-        else None
     expected = np.fft.fftshift(np.fft.fftfreq(2**10, d=1 / 2.4e6)) + 1.4204e9
     got = np.array([float(v) for v in freq_row.split(",")])
     np.testing.assert_allclose(got, expected, rtol=1e-10)

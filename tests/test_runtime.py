@@ -174,9 +174,12 @@ def test_feeder_source_exhaustion_ends_stream(tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# native C++ ring buffer (skipped when native/libfxring.so isn't built)
+# native C++ ring buffer (skipped when native/libfxring.so isn't built).
+# NOT importorskip: that would silently skip the WHOLE module — including
+# the pure-Python ring/feeder/stager tests above — if the wrapper module
+# ever failed to import; an import failure should FAIL loudly instead.
 # ---------------------------------------------------------------------------
-native = pytest.importorskip("fxtpu.runtime.native")
+from fxtpu.runtime import native  # noqa: E402
 
 
 @pytest.mark.skipif(not native.native_available(),
