@@ -743,3 +743,38 @@ def test_resolve_fused_auto_routing(monkeypatch):
     monkeypatch.setattr(_jax, "default_backend", lambda: "cpu")
     assert not _resolve_fused("auto", 4096, 4, 512)      # auto off on CPU
     assert _resolve_fused(True, 4096, 4, 512)            # explicit force
+
+
+@pytest.mark.parametrize("nbins,ntaps,frames,nch", [
+    (256, 2, 24, 2),     # minimum taps
+    (384, 3, 16, 2),     # non-power-of-two nbins (3*128)
+    (768, 5, 40, 2),     # odd taps, odd frame count x tile
+    (1024, 8, 16, 3),    # odd channel count (3 baselines)
+    (256, 9, 32, 2),     # taps just above the 8-row halo pad
+    (2048, 16, 32, 2),   # shallow-tap cap
+])
+def test_fused_step_shape_sweep(nbins, ntaps, frames, nch):
+    """Edge-shape sweep of the fused kernel against the unfused planes
+    path: non-power-of-two nbins, odd tap counts straddling the 8-row
+    halo pad, odd channel counts, frame counts that exercise tile
+    selection.  The main suites pin only a handful of shapes; tile/halo
+    bookkeeping bugs live at the edges."""
+    from fxtpu.ops.pfb_pallas import supported
+    ns = frames * nbins
+    assert supported(nbins, ntaps, frames, nch), (nbins, ntaps, frames)
+    cfg = dict(mode="SPECTRUM", nchan=nch, num_samp=ns, nbins=nbins,
+               ntaps=ntaps, clamp_num_samp=False)
+    eng_f = FxEngine(CorrelatorConfig(**cfg), fused=True)
+    eng_u = FxEngine(CorrelatorConfig(**cfg), fused=False)
+    rng = np.random.default_rng(nbins + ntaps)
+    blocks = [(rng.normal(size=(nch, ns)) + 1j * rng.normal(size=(nch, ns))
+               ).astype(np.complex64) for _ in range(2)]
+    d = jnp.asarray([0.0] + [2.1e-7] * (nch - 1), jnp.float32)
+    hf, hu = eng_f.fresh_history(), eng_u.fresh_history()
+    for i, b in enumerate(blocks):   # second block runs on carried history
+        vf, hf = eng_f.step(eng_f.prepare_block(b), d, hf)
+        vu, hu = eng_u.step(eng_u.prepare_block(b), d, hu)
+        cf, cu = to_complex(vf), to_complex(vu)
+        scale = np.abs(cu).max()
+        np.testing.assert_allclose(cf, cu, atol=5e-5 * scale,
+                                   err_msg=f"block {i}")
