@@ -328,6 +328,7 @@ def build():
             scratch.insert(1, pltpu.VMEM((NCH, 2, pad, NBINS), jnp.float32))
         call = pl.pallas_call(
             kernel,
+            interpret=jax.default_backend() != "tpu",
             grid=(K, S // TILE),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in
             + [vmem] * 11,
@@ -340,6 +341,7 @@ def build():
     else:
         call = pl.pallas_call(
             kernel,
+            interpret=jax.default_backend() != "tpu",
             grid=(S // TILE,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [vmem] * 11,
             out_specs=pl.BlockSpec((2, N1, N2), lambda t: (0, 0, 0),
