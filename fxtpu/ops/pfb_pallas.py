@@ -435,7 +435,8 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                tile: int, ntaps: int, n1: int, n2: int,
                n_tiles: int, nch: int, k_blocks: int, pairs,
                svd_r: int = 0, g1: int = 1, int8_in: bool = False,
-               nbuf: int = 2, split_dma: bool = False):
+               nbuf: int = 2, split_dma: bool = False,
+               static_slot: bool = False):
     """Grid (K, n_tiles), sequential.  Per program: DMA one slab of PFB
     rows (double-buffered, prefetching the NEXT program's slab), FIR,
     transpose-free 2-stage split-bf16 FFT, and accumulate per block.
@@ -486,6 +487,11 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
     mean correction for those rows happens post-hoc via the mu_prev
     terms of _dc_correct.  hist_s / hout and the last-tile correction
     are unused (the caller slices the raw tail from its own input).
+
+    ``static_slot`` (FXTPU_FUSED_STATIC_SLOT=1) replaces the dynamic
+    ``g % nbuf`` slab indexing with one specialized branch per slot (see
+    the dispatch at the bottom) — an A/B knob for probing whether Mosaic
+    serializes the DMA/compute overlap on dynamically-indexed slots.
 
     Debug-only: FXTPU_FUSED_ABLATE=dma|fir|fft1 (read at trace time)
     truncates the per-tile pipeline after that stage, for localizing
@@ -581,246 +587,271 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
         for cp in g0_data_copies(0):
             cp.wait()
 
-    # total == 1 (one block, one tile): only g == 0 exists — tile_copies
-    # must not even be TRACED (its pad+tile-row slice exceeds the whole
-    # rows_total == tile input)
-    if total > 1:
+    la = nbuf - 1                       # lookahead distance
+    nk = k + (t + la) // n_tiles
+    nt = jax.lax.rem(t + la, n_tiles)
+
+    def dma_step(slot, nxt_slot):
+        """Wait for THIS tile's slab transfer into `slot`, then start the
+        lookahead tile's transfer into `nxt_slot` (slots may be Python
+        ints under static_slot — every slab/semaphore index constant).
+        Only traced when total > 1: with one global tile, tile_copies'
+        pad+tile-row slice would exceed the rows_total == tile input."""
         @pl.when(g > 0)
         def _():
-            for cp in tile_copies(k, t, buf):
+            for cp in tile_copies(k, t, slot):
                 cp.wait()
-
-        la = nbuf - 1                   # lookahead distance
-        nxt = jax.lax.rem(g + la, nbuf)
-        nk = k + (t + la) // n_tiles
-        nt = jax.lax.rem(t + la, n_tiles)
 
         @pl.when(g + la < total)
         def _():
-            for cp in tile_copies(nk, nt, nxt):
+            for cp in tile_copies(nk, nt, nxt_slot):
                 cp.start()
 
-    # ---- t == 0: slab front <- carried history (f32 corrected-tail mode;
-    # int8 mode's raw front rows arrived with the uniform copy — at k > 0
-    # they ARE the previous block's raw tail, the int8 history contract)
-    if not int8_in:
-        @pl.when(t == 0)
-        def _():
-            for c in range(nch):
-                slab[buf, 0, c, :pad] = hist_s[c, 0]
-                slab[buf, 1, c, :pad] = hist_s[c, 1]
+    def _tile_tail(buf):
+        # Everything downstream of the slab DMA for this tile; `buf` is
+        # dynamic (g % nbuf) normally, a Python int under static_slot.
 
-    # ---- FIR + FFT per channel (raw — DC handled post-hoc) ----------------
-    off = pad - halo
-    kw = dict(preferred_element_type=jnp.float32)
-    spec = []
-    ssum = jnp.zeros((8, 128), jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    for c in range(nch):
-        if int8_in and _abl == "dma0":
-            # raw packed-DMA floor: touch the slab words, skip the unpack
-            q = slab[buf, 0, c][:tile].astype(jnp.float32)
-            qr = q.reshape(tile, n1 // 4, n2)
-            z = jnp.zeros((tile, n1 - n1 // 4, n2), jnp.float32)
-            spec.append((jnp.concatenate([qr, z], axis=1),
-                         jnp.concatenate([z, qr], axis=1)))
-            continue
-        if int8_in:
-            # packed int32 words (4 bins each): one unpack per plane.
-            # bf16 holds int8 exactly, which the SVD conv consumes
-            # directly; the direct tap loop wants f32 operands.
-            udt = jnp.bfloat16 if svd_r else jnp.float32
-            plane_re = _unpack_i8(slab[buf, 0, c], udt)
-            plane_im = _unpack_i8(slab[buf, 1, c], udt)
-        else:
-            plane_re = slab[buf, 0, c]
-            plane_im = slab[buf, 1, c]
-        # raw sample sums over THIS tile's own data rows only
-        sr = jnp.sum(plane_re[pad:].astype(jnp.float32))
-        si = jnp.sum(plane_im[pad:].astype(jnp.float32))
-        ssum = ssum + jnp.where(lane == 2 * c, sr, 0.0) \
-            + jnp.where(lane == 2 * c + 1, si, 0.0)
-        if _abl == "dma":
-            spec.append((plane_re[:tile].astype(jnp.float32
-                                                ).reshape(tile, n1, n2),
-                         plane_im[:tile].astype(jnp.float32
-                                                ).reshape(tile, n1, n2)))
-            continue
-        if svd_r:
-            # banded MXU matmul + r pointwise v-combines (SVD-FIR), in
-            # 8-row chunks: each chunk's slab window starts sublane-
-            # aligned and is read exactly once — no per-tap rotated
-            # slices, and the conv intermediate stays [r*8, nbins]
-            kw3 = dict(preferred_element_type=jnp.float32)
-            sub = _SVD_SUB
-            win = pad + sub
+        # ---- t == 0: slab front <- carried history (f32 corrected-tail mode;
+        # int8 mode's raw front rows arrived with the uniform copy — at k > 0
+        # they ARE the previous block's raw tail, the int8 history contract)
+        if not int8_in:
+            @pl.when(t == 0)
+            def _():
+                for c in range(nch):
+                    slab[buf, 0, c, :pad] = hist_s[c, 0]
+                    slab[buf, 1, c, :pad] = hist_s[c, 1]
 
-            def conv_chunk(plane, c0):
-                if int8_in:
-                    # int8 samples are bf16-EXACT: no data split, 2 passes
-                    # (plane arrives unpacked-as-bf16 from _unpack_i8)
-                    hi = plane[c0:c0 + win]
-                    return (jnp.dot(bh_ref[:], hi, **kw3)
-                            + jnp.dot(bl_ref[:], hi, **kw3))
-                hi, lo = _split_bf16(plane[c0:c0 + win])
-                return (jnp.dot(bh_ref[:], hi, **kw3)
-                        + jnp.dot(bl_ref[:], hi, **kw3)
-                        + jnp.dot(bh_ref[:], lo, **kw3))  # [r*sub, nbins]
-
-            def fir_chunks(plane):
-                out = []
-                for cc in range(tile // sub):
-                    cv = conv_chunk(plane, cc * sub)
-                    acc = v_ref[0] * cv[0:sub]
-                    for kk2 in range(1, svd_r):
-                        acc = acc + v_ref[kk2] * cv[kk2 * sub:
-                                                    (kk2 + 1) * sub]
-                    out.append(acc)
-                return jnp.concatenate(out, axis=0)
-
-            fir_re = fir_chunks(plane_re)
-            fir_im = fir_chunks(plane_im)
-        else:
-            # direct tap loop.  int8 mode: the plane arrives unpacked as
-            # exact f32 (dequant scale pre-folded into w_ref), then the
-            # identical loop.
-            fir_re = w_ref[0] * plane_re[off:off + tile]
-            fir_im = w_ref[0] * plane_im[off:off + tile]
-            for tap in range(1, ntaps):
-                fir_re = fir_re + w_ref[tap] * plane_re[off + tap:
-                                                        off + tap + tile]
-                fir_im = fir_im + w_ref[tap] * plane_im[off + tap:
-                                                        off + tap + tile]
-        # stage 1 contracts the major digit i1 over the row axis with a
-        # LEFT matmul per FRAME GROUP — NO transposes anywhere:
-        #   [re(k1); im(k1)] = [[C1,-S1],[S1,C1]] @ [xr(i1); xi(i1)]
-        # one [2*n1, 2*n1] @ [2*n1, g1*n2] product per group per split
-        # pass.  g1 is shape-dependent (static, from _stage1_group): at
-        # the flagship n1=32 the concats cost more than the saved
-        # dispatches (21.8 vs 22.9 GS/s at G=4) so g1=1; at wideband
-        # n1=64 the per-frame [128,128]@[128,128] dots are latency-bound
-        # and grouping frames onto the lanes wins.
-        if _abl == "fir":
-            spec.append((fir_re.reshape(tile, n1, n2),
-                         fir_im.reshape(tile, n1, n2)))
-            continue
-        f3r = fir_re.reshape(tile, n1, n2)
-        f3i = fir_im.reshape(tile, n1, n2)
-        brs, bis = [], []
-        for base in range(0, tile, g1):
-            if g1 == 1:
-                x2 = jnp.concatenate([f3r[base], f3i[base]], axis=0)
+        # ---- FIR + FFT per channel (raw — DC handled post-hoc) ----------------
+        off = pad - halo
+        kw = dict(preferred_element_type=jnp.float32)
+        spec = []
+        ssum = jnp.zeros((8, 128), jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        for c in range(nch):
+            if int8_in and _abl == "dma0":
+                # raw packed-DMA floor: touch the slab words, skip the unpack
+                q = slab[buf, 0, c][:tile].astype(jnp.float32)
+                qr = q.reshape(tile, n1 // 4, n2)
+                z = jnp.zeros((tile, n1 - n1 // 4, n2), jnp.float32)
+                spec.append((jnp.concatenate([qr, z], axis=1),
+                             jnp.concatenate([z, qr], axis=1)))
+                continue
+            if int8_in:
+                # packed int32 words (4 bins each): one unpack per plane.
+                # bf16 holds int8 exactly, which the SVD conv consumes
+                # directly; the direct tap loop wants f32 operands.
+                udt = jnp.bfloat16 if svd_r else jnp.float32
+                plane_re = _unpack_i8(slab[buf, 0, c], udt)
+                plane_im = _unpack_i8(slab[buf, 1, c], udt)
             else:
-                x2 = jnp.concatenate(
-                    [jnp.concatenate([f3r[base + g], f3i[base + g]],
-                                     axis=0) for g in range(g1)],
-                    axis=1)                       # [2n1, g1*n2]
+                plane_re = slab[buf, 0, c]
+                plane_im = slab[buf, 1, c]
+            # raw sample sums over THIS tile's own data rows only
+            sr = jnp.sum(plane_re[pad:].astype(jnp.float32))
+            si = jnp.sum(plane_im[pad:].astype(jnp.float32))
+            ssum = ssum + jnp.where(lane == 2 * c, sr, 0.0) \
+                + jnp.where(lane == 2 * c + 1, si, 0.0)
+            if _abl == "dma":
+                spec.append((plane_re[:tile].astype(jnp.float32
+                                                    ).reshape(tile, n1, n2),
+                             plane_im[:tile].astype(jnp.float32
+                                                    ).reshape(tile, n1, n2)))
+                continue
+            if svd_r:
+                # banded MXU matmul + r pointwise v-combines (SVD-FIR), in
+                # 8-row chunks: each chunk's slab window starts sublane-
+                # aligned and is read exactly once — no per-tap rotated
+                # slices, and the conv intermediate stays [r*8, nbins]
+                kw3 = dict(preferred_element_type=jnp.float32)
+                sub = _SVD_SUB
+                win = pad + sub
+
+                def conv_chunk(plane, c0):
+                    if int8_in:
+                        # int8 samples are bf16-EXACT: no data split, 2 passes
+                        # (plane arrives unpacked-as-bf16 from _unpack_i8)
+                        hi = plane[c0:c0 + win]
+                        return (jnp.dot(bh_ref[:], hi, **kw3)
+                                + jnp.dot(bl_ref[:], hi, **kw3))
+                    hi, lo = _split_bf16(plane[c0:c0 + win])
+                    return (jnp.dot(bh_ref[:], hi, **kw3)
+                            + jnp.dot(bl_ref[:], hi, **kw3)
+                            + jnp.dot(bh_ref[:], lo, **kw3))  # [r*sub, nbins]
+
+                def fir_chunks(plane):
+                    out = []
+                    for cc in range(tile // sub):
+                        cv = conv_chunk(plane, cc * sub)
+                        acc = v_ref[0] * cv[0:sub]
+                        for kk2 in range(1, svd_r):
+                            acc = acc + v_ref[kk2] * cv[kk2 * sub:
+                                                        (kk2 + 1) * sub]
+                        out.append(acc)
+                    return jnp.concatenate(out, axis=0)
+
+                fir_re = fir_chunks(plane_re)
+                fir_im = fir_chunks(plane_im)
+            else:
+                # direct tap loop.  int8 mode: the plane arrives unpacked as
+                # exact f32 (dequant scale pre-folded into w_ref), then the
+                # identical loop.
+                fir_re = w_ref[0] * plane_re[off:off + tile]
+                fir_im = w_ref[0] * plane_im[off:off + tile]
+                for tap in range(1, ntaps):
+                    fir_re = fir_re + w_ref[tap] * plane_re[off + tap:
+                                                            off + tap + tile]
+                    fir_im = fir_im + w_ref[tap] * plane_im[off + tap:
+                                                            off + tap + tile]
+            # stage 1 contracts the major digit i1 over the row axis with a
+            # LEFT matmul per FRAME GROUP — NO transposes anywhere:
+            #   [re(k1); im(k1)] = [[C1,-S1],[S1,C1]] @ [xr(i1); xi(i1)]
+            # one [2*n1, 2*n1] @ [2*n1, g1*n2] product per group per split
+            # pass.  g1 is shape-dependent (static, from _stage1_group): at
+            # the flagship n1=32 the concats cost more than the saved
+            # dispatches (21.8 vs 22.9 GS/s at G=4) so g1=1; at wideband
+            # n1=64 the per-frame [128,128]@[128,128] dots are latency-bound
+            # and grouping frames onto the lanes wins.
+            if _abl == "fir":
+                spec.append((fir_re.reshape(tile, n1, n2),
+                             fir_im.reshape(tile, n1, n2)))
+                continue
+            f3r = fir_re.reshape(tile, n1, n2)
+            f3i = fir_im.reshape(tile, n1, n2)
+            brs, bis = [], []
+            for base in range(0, tile, g1):
+                if g1 == 1:
+                    x2 = jnp.concatenate([f3r[base], f3i[base]], axis=0)
+                else:
+                    x2 = jnp.concatenate(
+                        [jnp.concatenate([f3r[base + g], f3i[base + g]],
+                                         axis=0) for g in range(g1)],
+                        axis=1)                       # [2n1, g1*n2]
+                hi, lo = _split_bf16(x2)
+                a = (jnp.dot(m1h_ref[:], hi, **kw)
+                     + jnp.dot(m1l_ref[:], hi, **kw)
+                     + jnp.dot(m1h_ref[:], lo, **kw))
+                for g in range(g1):
+                    ar = a[:n1, g * n2:(g + 1) * n2]
+                    ai = a[n1:, g * n2:(g + 1) * n2]
+                    # twiddle W_N^{i2*k1}, arranged [k1, i2] (natural layout)
+                    brs.append(ar * twc_ref[:] - ai * tws_ref[:])
+                    bis.append(ar * tws_ref[:] + ai * twc_ref[:])
+            # stage 2 contracts i2 over the LANES: one combined right matmul
+            #   [re | im] = [br | bi] @ [[C2, S2], [-S2, C2]]
+            if _abl == "fft1":
+                spec.append((jnp.concatenate(brs, 0).reshape(tile, n1, n2),
+                             jnp.concatenate(bis, 0).reshape(tile, n1, n2)))
+                continue
+            br2 = jnp.concatenate(brs, axis=0)   # [tile*n1 (k1-rows), n2 (i2)]
+            bi2 = jnp.concatenate(bis, axis=0)
+            x2 = jnp.concatenate([br2, bi2], axis=1)        # [tile*n1, 2*n2]
             hi, lo = _split_bf16(x2)
-            a = (jnp.dot(m1h_ref[:], hi, **kw)
-                 + jnp.dot(m1l_ref[:], hi, **kw)
-                 + jnp.dot(m1h_ref[:], lo, **kw))
-            for g in range(g1):
-                ar = a[:n1, g * n2:(g + 1) * n2]
-                ai = a[n1:, g * n2:(g + 1) * n2]
-                # twiddle W_N^{i2*k1}, arranged [k1, i2] (natural layout)
-                brs.append(ar * twc_ref[:] - ai * tws_ref[:])
-                bis.append(ar * tws_ref[:] + ai * twc_ref[:])
-        # stage 2 contracts i2 over the LANES: one combined right matmul
-        #   [re | im] = [br | bi] @ [[C2, S2], [-S2, C2]]
-        if _abl == "fft1":
-            spec.append((jnp.concatenate(brs, 0).reshape(tile, n1, n2),
-                         jnp.concatenate(bis, 0).reshape(tile, n1, n2)))
-            continue
-        br2 = jnp.concatenate(brs, axis=0)   # [tile*n1 (k1-rows), n2 (i2)]
-        bi2 = jnp.concatenate(bis, axis=0)
-        x2 = jnp.concatenate([br2, bi2], axis=1)        # [tile*n1, 2*n2]
-        hi, lo = _split_bf16(x2)
-        cc = (jnp.dot(hi, m2h_ref[:], **kw) + jnp.dot(hi, m2l_ref[:], **kw)
-              + jnp.dot(lo, m2h_ref[:], **kw))
-        cr = cc[:, :n2].reshape(tile, n1, n2)
-        ci = cc[:, n2:].reshape(tile, n1, n2)
-        # spectra [tile, k1, k2]; bin index = k1 + n1*k2 (permuted — the
-        # tiny integrated visibility is gathered to natural order outside)
-        spec.append((cr, ci))
+            cc = (jnp.dot(hi, m2h_ref[:], **kw) + jnp.dot(hi, m2l_ref[:], **kw)
+                  + jnp.dot(lo, m2h_ref[:], **kw))
+            cr = cc[:, :n2].reshape(tile, n1, n2)
+            ci = cc[:, n2:].reshape(tile, n1, n2)
+            # spectra [tile, k1, k2]; bin index = k1 + n1*k2 (permuted — the
+            # tiny integrated visibility is gathered to natural order outside)
+            spec.append((cr, ci))
 
-    # ---- per-channel accumulators for the post-hoc DC correction ----------
-    for c in range(nch):
-        cr, ci = spec[c]
-        t_re = jnp.sum(cr, axis=0)
-        t_im = jnp.sum(ci, axis=0)
+        # ---- per-channel accumulators for the post-hoc DC correction ----------
+        for c in range(nch):
+            cr, ci = spec[c]
+            t_re = jnp.sum(cr, axis=0)
+            t_im = jnp.sum(ci, axis=0)
+
+            @pl.when(t == 0)
+            def _(c=c, t_re=t_re, t_im=t_im, cr=cr, ci=ci):
+                tout_ref[0, c, 0] = t_re
+                tout_ref[0, c, 1] = t_im
+                # first ntaps-1 frames (the only ones whose FIR reaches into
+                # the stream history), contracted against conj(dA) in place:
+                # GJ = sum_j (cr_j + i ci_j)(dAre_j - i dAim_j)
+                uout_ref[0, c, 0] = jnp.sum(
+                    cr[:halo] * dare_ref[:] + ci[:halo] * daim_ref[:], axis=0)
+                uout_ref[0, c, 1] = jnp.sum(
+                    ci[:halo] * dare_ref[:] - cr[:halo] * daim_ref[:], axis=0)
+
+            @pl.when(t != 0)
+            def _(c=c, t_re=t_re, t_im=t_im):
+                tout_ref[0, c, 0] += t_re
+                tout_ref[0, c, 1] += t_im
 
         @pl.when(t == 0)
-        def _(c=c, t_re=t_re, t_im=t_im, cr=cr, ci=ci):
-            tout_ref[0, c, 0] = t_re
-            tout_ref[0, c, 1] = t_im
-            # first ntaps-1 frames (the only ones whose FIR reaches into
-            # the stream history), contracted against conj(dA) in place:
-            # GJ = sum_j (cr_j + i ci_j)(dAre_j - i dAim_j)
-            uout_ref[0, c, 0] = jnp.sum(
-                cr[:halo] * dare_ref[:] + ci[:halo] * daim_ref[:], axis=0)
-            uout_ref[0, c, 1] = jnp.sum(
-                ci[:halo] * dare_ref[:] - cr[:halo] * daim_ref[:], axis=0)
+        def _():
+            sums_s[...] = ssum
 
         @pl.when(t != 0)
-        def _(c=c, t_re=t_re, t_im=t_im):
-            tout_ref[0, c, 0] += t_re
-            tout_ref[0, c, 1] += t_im
-
-    @pl.when(t == 0)
-    def _():
-        sums_s[...] = ssum
-
-    @pl.when(t != 0)
-    def _():
-        sums_s[...] += ssum
-
-    # ---- at the block's last tile: emit the sums and save the tail --------
-    # f32 mode: the tail is DC-CORRECTED here with the block's own mean
-    # (the full sample sums are complete by now), preserving the
-    # corrected-tail history invariant the next block's post-hoc algebra
-    # assumes.  int8 mode: the raw tail stays in HBM (next block DMAs it;
-    # the caller slices its own input for the carried history) — only the
-    # sums leave the kernel.
-    if int8_in:
-        @pl.when(t == n_tiles - 1)
         def _():
-            sout_ref[0] = sums_s[...]
+            sums_s[...] += ssum
+
+        # ---- at the block's last tile: emit the sums and save the tail --------
+        # f32 mode: the tail is DC-CORRECTED here with the block's own mean
+        # (the full sample sums are complete by now), preserving the
+        # corrected-tail history invariant the next block's post-hoc algebra
+        # assumes.  int8 mode: the raw tail stays in HBM (next block DMAs it;
+        # the caller slices its own input for the carried history) — only the
+        # sums leave the kernel.
+        if int8_in:
+            @pl.when(t == n_tiles - 1)
+            def _():
+                sout_ref[0] = sums_s[...]
+        else:
+            @pl.when(t == n_tiles - 1)
+            def _():
+                sout_ref[0] = sums_s[...]
+                lane2 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                inv_n = 1.0 / (8.0 * n_tiles * tile * (n1 * n2))
+                for c in range(nch):
+                    mu_re = jnp.sum(jnp.where(lane2 == 2 * c, sums_s[...], 0.0)
+                                    ) * inv_n
+                    mu_im = jnp.sum(jnp.where(lane2 == 2 * c + 1,
+                                              sums_s[...], 0.0)) * inv_n
+                    hist_s[c, 0, pad - halo:] = (
+                        slab[buf, 0, c, pad + tile - halo:] - mu_re)
+                    hist_s[c, 1, pad - halo:] = (
+                        slab[buf, 1, c, pad + tile - halo:] - mu_im)
+
+            @pl.when((k == k_blocks - 1) & (t == n_tiles - 1))
+            def _():
+                hout_ref[...] = hist_s[...]
+
+        # ---- X-stage: accumulate raw cross power over this tile's frames ------
+        for ib, (p, q) in enumerate(pairs):
+            pr, pi = spec[p]
+            qr, qi = spec[q]
+            acc_re = jnp.sum(pr * qr + pi * qi, axis=0)   # [n1, n2]
+            acc_im = jnp.sum(pi * qr - pr * qi, axis=0)
+
+            @pl.when(t == 0)
+            def _(ib=ib, acc_re=acc_re, acc_im=acc_im):
+                out_ref[0, ib, 0] = acc_re
+                out_ref[0, ib, 1] = acc_im
+
+            @pl.when(t != 0)
+            def _(ib=ib, acc_re=acc_re, acc_im=acc_im):
+                out_ref[0, ib, 0] += acc_re
+                out_ref[0, ib, 1] += acc_im
+
+    if static_slot and total > 1:
+        # Slot-specialized pipeline: one branch per slab slot, selected by
+        # g % nbuf, with CONSTANT slot indices in every copy wait, prefetch
+        # start, and compute read — so Mosaic can prove the in-flight DMA's
+        # destination slot disjoint from the slot compute reads and overlap
+        # them.  Costs nbuf copies of the compute body (code size/compile
+        # time); enabled by FXTPU_FUSED_STATIC_SLOT=1 for hardware A/B.
+        # g == 0 takes the s == 0 branch: its wait is skipped (the g == 0
+        # block above already awaited slot 0) and its lookahead start
+        # completes the warm pipeline exactly as the dynamic path does.
+        for s in range(nbuf):
+            @pl.when(jax.lax.rem(g, nbuf) == s)
+            def _(s=s):
+                dma_step(s, (s + la) % nbuf)
+                _tile_tail(s)
     else:
-        @pl.when(t == n_tiles - 1)
-        def _():
-            sout_ref[0] = sums_s[...]
-            lane2 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-            inv_n = 1.0 / (8.0 * n_tiles * tile * (n1 * n2))
-            for c in range(nch):
-                mu_re = jnp.sum(jnp.where(lane2 == 2 * c, sums_s[...], 0.0)
-                                ) * inv_n
-                mu_im = jnp.sum(jnp.where(lane2 == 2 * c + 1,
-                                          sums_s[...], 0.0)) * inv_n
-                hist_s[c, 0, pad - halo:] = (
-                    slab[buf, 0, c, pad + tile - halo:] - mu_re)
-                hist_s[c, 1, pad - halo:] = (
-                    slab[buf, 1, c, pad + tile - halo:] - mu_im)
-
-        @pl.when((k == k_blocks - 1) & (t == n_tiles - 1))
-        def _():
-            hout_ref[...] = hist_s[...]
-
-    # ---- X-stage: accumulate raw cross power over this tile's frames ------
-    for ib, (p, q) in enumerate(pairs):
-        pr, pi = spec[p]
-        qr, qi = spec[q]
-        acc_re = jnp.sum(pr * qr + pi * qi, axis=0)   # [n1, n2]
-        acc_im = jnp.sum(pi * qr - pr * qi, axis=0)
-
-        @pl.when(t == 0)
-        def _(ib=ib, acc_re=acc_re, acc_im=acc_im):
-            out_ref[0, ib, 0] = acc_re
-            out_ref[0, ib, 1] = acc_im
-
-        @pl.when(t != 0)
-        def _(ib=ib, acc_re=acc_re, acc_im=acc_im):
-            out_ref[0, ib, 0] += acc_re
-            out_ref[0, ib, 1] += acc_im
+        if total > 1:
+            dma_step(buf, jax.lax.rem(g + la, nbuf))
+        _tile_tail(buf)
 
 
 def _default_nbuf() -> int:
@@ -921,6 +952,7 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
     import os as _os
     nbuf = int(_os.environ.get("FXTPU_FUSED_NBUF", "0")) or _default_nbuf()
     split_dma = _os.environ.get("FXTPU_FUSED_SPLITDMA", "") == "1"
+    static_slot = _os.environ.get("FXTPU_FUSED_STATIC_SLOT", "") == "1"
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -928,7 +960,7 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
                           n1=n1, n2=n2, n_tiles=s_rows // tile, nch=nch,
                           k_blocks=k_blocks, pairs=pairs_t, svd_r=svd_r,
                           g1=g1, int8_in=int8_in, nbuf=nbuf,
-                          split_dma=split_dma),
+                          split_dma=split_dma, static_slot=static_slot),
         grid=(k_blocks, s_rows // tile),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),    # x re (manual DMA)

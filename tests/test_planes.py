@@ -670,6 +670,65 @@ def test_fused_deep_dma_pipeline_matches_unfused(monkeypatch, nbuf, split):
         pfb_pallas._fx_call.clear_cache()
 
 
+@pytest.mark.parametrize("nbuf", ["0", "3"])
+def test_fused_static_slot_matches_unfused(monkeypatch, nbuf):
+    """FXTPU_FUSED_STATIC_SLOT=1 (slot-specialized DMA pipeline: one
+    pl.when branch per slab slot with constant slot indices) is a pure
+    schedule change — streamed multi-block parity against the unfused
+    path at nbuf=2 (default) and nbuf=3 (lookahead-2)."""
+    from jax import tree
+
+    from fxtpu.fx import _STEP_CACHE
+    from fxtpu.ops import pfb_pallas
+
+    monkeypatch.setenv("FXTPU_FUSED_STATIC_SLOT", "1")
+    if nbuf != "0":
+        monkeypatch.setenv("FXTPU_FUSED_NBUF", nbuf)
+    _STEP_CACHE.clear()
+    pfb_pallas._fx_call.clear_cache()
+    try:
+        cfg = CorrelatorConfig(mode="SPECTRUM", num_samp=2**13, nbins=256,
+                               clamp_num_samp=False)
+        rng = np.random.default_rng(11)
+        k = 3
+        blocks = [(rng.normal(size=(2, cfg.num_samp))
+                   + 1j * rng.normal(size=(2, cfg.num_samp))
+                   ).astype(np.complex64) for _ in range(k)]
+        delays = jnp.zeros((k, 2), jnp.float32)
+        eng_u = FxEngine(cfg, fused=False)
+        eng_f = FxEngine(cfg, fused=True)
+        iq_u = tree.map(lambda *xs: jnp.stack(xs),
+                        *[eng_u.prepare_block(b) for b in blocks])
+        vu, hu = eng_u.multi_step(iq_u, delays, eng_u.fresh_history())
+        vf, hf = eng_f.multi_step(eng_f.prepare_batch(blocks),
+                                  delays, eng_f.fresh_history())
+        scale = np.abs(to_complex(vu)).max()
+        np.testing.assert_allclose(to_complex(vf), to_complex(vu),
+                                   atol=2e-5 * scale)
+        np.testing.assert_allclose(to_complex(hf), to_complex(hu),
+                                   atol=1e-6)
+    finally:
+        _STEP_CACHE.clear()
+        pfb_pallas._fx_call.clear_cache()
+
+
+def test_int8_static_slot_multi_tile_parity(monkeypatch):
+    """Static-slot pipeline on the int8-native deep-tap SVD shape with
+    K>1 and n_tiles>1 (the full merged-rows copy grid)."""
+    from fxtpu.fx import _STEP_CACHE
+    from fxtpu.ops import pfb_pallas
+
+    monkeypatch.setenv("FXTPU_FUSED_STATIC_SLOT", "1")
+    _STEP_CACHE.clear()
+    pfb_pallas._fx_call.clear_cache()
+    try:
+        t = TestInt8NativeDeepMultiTile()
+        t.test_multi_step_matches_sequential()
+    finally:
+        _STEP_CACHE.clear()
+        pfb_pallas._fx_call.clear_cache()
+
+
 def test_spectrometer_pallas_ntaps1_history_empty():
     """ntaps=1 (no FIR memory): the carried history must be the EMPTY
     tail — the old ``rows[:, -(ntaps - 1):]`` slice was ``-0:``, i.e. the
