@@ -308,6 +308,10 @@ CONFIGS = {
     # raw-tail history) beats the XLA path at deep taps
     "wideband_int8": dict(block_pow=21, nbins=8192, nchan=2, ntaps=32,
                           blocks_per_call=32, ingest="int8"),
+    # the flagship shape at the PRODUCTION ingest width: int8 planes
+    # through the slab (DMA bytes / 4), direct 4-tap loop with the dequant
+    # folded into the window
+    "default_int8": dict(block_pow=21, nbins=4096, nchan=2, ingest="int8"),
     # config 5: 8-input FX correlator (36 baselines with autos); Gram-matmul
     # X-stage (5.63 GS/s vs 1.85 with per-pair gathers at this shape)
     "nchan8": dict(block_pow=20, nbins=4096, nchan=8, include_autos=True,
