@@ -609,6 +609,14 @@ class TestInt8NativeDeepMultiTile(TestInt8NativeFused):
     NS, NBINS, NTAPS = 2**15, 256, 32
 
 
+class TestInt8NativeFlagshipShape(TestInt8NativeFused):
+    """The production flagship shape at int8 ingest width (bench config
+    ``default_int8``): 4096 bins -> 1024 PACKED int32 lanes (vs 64 in the
+    256-bin tests) through the direct 4-tap loop."""
+
+    NS, NBINS, NTAPS = 2**15, 4096, 4
+
+
 def test_int8_deep_nbuf3_multi_tile_parity(monkeypatch):
     """nbuf=3 (two DMAs in flight) on the int8-native deep-tap SVD shape
     with K>1 AND n_tiles>1: the warm-start + lookahead-2 prefetch walks
