@@ -74,6 +74,12 @@ def _resolve_fused(fused, nbins, ntaps, s_rows, nch: int = 2,
     if fused == "auto":
         fused = jax.default_backend() in ("tpu",) and (ntaps <= 16
                                                        or deep_svd)
+        # the fused kernel caps at HIGH (3-pass split-bf16); HIGHEST
+        # (6-pass) only exists on the XLA path (ops/cfft.py) — honor the
+        # user's precision request over the faster kernel
+        if os.environ.get("FXTPU_FFT_PRECISION", "high").lower() \
+                == "highest":
+            fused = False
     return bool(fused) and pfb_pallas.supported(nbins, ntaps, s_rows, nch)
 
 

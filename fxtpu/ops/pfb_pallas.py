@@ -436,7 +436,7 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                n_tiles: int, nch: int, k_blocks: int, pairs,
                svd_r: int = 0, g1: int = 1, int8_in: bool = False,
                nbuf: int = 2, split_dma: bool = False,
-               static_slot: bool = False):
+               static_slot: bool = False, one_pass: bool = False):
     """Grid (K, n_tiles), sequential.  Per program: DMA one slab of PFB
     rows (double-buffered, prefetching the NEXT program's slab), FIR,
     transpose-free 2-stage split-bf16 FFT, and accumulate per block.
@@ -668,11 +668,17 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
 
                 def conv_chunk(plane, c0):
                     if int8_in:
-                        # int8 samples are bf16-EXACT: no data split, 2 passes
-                        # (plane arrives unpacked-as-bf16 from _unpack_i8)
+                        # int8 samples are bf16-EXACT: no data split — 2
+                        # passes (band hi+lo) at HIGH, 1 at DEFAULT
                         hi = plane[c0:c0 + win]
+                        if one_pass:
+                            return jnp.dot(bh_ref[:], hi, **kw3)
                         return (jnp.dot(bh_ref[:], hi, **kw3)
                                 + jnp.dot(bl_ref[:], hi, **kw3))
+                    if one_pass:
+                        return jnp.dot(
+                            bh_ref[:],
+                            plane[c0:c0 + win].astype(jnp.bfloat16), **kw3)
                     hi, lo = _split_bf16(plane[c0:c0 + win])
                     return (jnp.dot(bh_ref[:], hi, **kw3)
                             + jnp.dot(bl_ref[:], hi, **kw3)
@@ -726,10 +732,13 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                         [jnp.concatenate([f3r[base + g], f3i[base + g]],
                                          axis=0) for g in range(g1)],
                         axis=1)                       # [2n1, g1*n2]
-                hi, lo = _split_bf16(x2)
-                a = (jnp.dot(m1h_ref[:], hi, **kw)
-                     + jnp.dot(m1l_ref[:], hi, **kw)
-                     + jnp.dot(m1h_ref[:], lo, **kw))
+                if one_pass:
+                    a = jnp.dot(m1h_ref[:], x2.astype(jnp.bfloat16), **kw)
+                else:
+                    hi, lo = _split_bf16(x2)
+                    a = (jnp.dot(m1h_ref[:], hi, **kw)
+                         + jnp.dot(m1l_ref[:], hi, **kw)
+                         + jnp.dot(m1h_ref[:], lo, **kw))
                 for g in range(g1):
                     ar = a[:n1, g * n2:(g + 1) * n2]
                     ai = a[n1:, g * n2:(g + 1) * n2]
@@ -745,9 +754,13 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
             br2 = jnp.concatenate(brs, axis=0)   # [tile*n1 (k1-rows), n2 (i2)]
             bi2 = jnp.concatenate(bis, axis=0)
             x2 = jnp.concatenate([br2, bi2], axis=1)        # [tile*n1, 2*n2]
-            hi, lo = _split_bf16(x2)
-            cc = (jnp.dot(hi, m2h_ref[:], **kw) + jnp.dot(hi, m2l_ref[:], **kw)
-                  + jnp.dot(lo, m2h_ref[:], **kw))
+            if one_pass:
+                cc = jnp.dot(x2.astype(jnp.bfloat16), m2h_ref[:], **kw)
+            else:
+                hi, lo = _split_bf16(x2)
+                cc = (jnp.dot(hi, m2h_ref[:], **kw)
+                      + jnp.dot(hi, m2l_ref[:], **kw)
+                      + jnp.dot(lo, m2h_ref[:], **kw))
             cr = cc[:, :n2].reshape(tile, n1, n2)
             ci = cc[:, n2:].reshape(tile, n1, n2)
             # spectra [tile, k1, k2]; bin index = k1 + n1*k2 (permuted — the
@@ -953,6 +966,20 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
     nbuf = int(_os.environ.get("FXTPU_FUSED_NBUF", "0")) or _default_nbuf()
     split_dma = _os.environ.get("FXTPU_FUSED_SPLITDMA", "") == "1"
     static_slot = _os.environ.get("FXTPU_FUSED_STATIC_SLOT", "") == "1"
+    # The fused kernel honors the SAME precision knob as the XLA path
+    # (ops/cfft.py): DEFAULT = 1-pass bf16 dots (conv + both FFT stages),
+    # HIGH (default) = the manual 3-pass split-bf16 (2-pass where the
+    # input is bf16-exact).  HIGHEST is not implementable at MXU speed in
+    # this kernel — fx._resolve_fused keeps 'auto' on the XLA path there;
+    # a FORCED fused engine falls back to HIGH with a warning.
+    prec = _os.environ.get("FXTPU_FFT_PRECISION", "high").lower()
+    one_pass = prec == "default"
+    if prec == "highest":
+        import warnings
+        warnings.warn(
+            "FXTPU_FFT_PRECISION=highest: the fused kernel caps at HIGH "
+            "(3-pass split-bf16); use fused=False for the 6-pass XLA path",
+            stacklevel=2)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -960,7 +987,8 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
                           n1=n1, n2=n2, n_tiles=s_rows // tile, nch=nch,
                           k_blocks=k_blocks, pairs=pairs_t, svd_r=svd_r,
                           g1=g1, int8_in=int8_in, nbuf=nbuf,
-                          split_dma=split_dma, static_slot=static_slot),
+                          split_dma=split_dma, static_slot=static_slot,
+                          one_pass=one_pass),
         grid=(k_blocks, s_rows // tile),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),    # x re (manual DMA)

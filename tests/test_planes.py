@@ -609,6 +609,65 @@ class TestInt8NativeDeepMultiTile(TestInt8NativeFused):
     NS, NBINS, NTAPS = 2**15, 256, 32
 
 
+@pytest.mark.parametrize("ntaps", [4, 32])
+def test_fused_default_precision_loose_parity(monkeypatch, ntaps):
+    """FXTPU_FFT_PRECISION=default switches the fused kernel to 1-pass
+    bf16 dots (SVD conv + both FFT stages) — the same speed/accuracy knob
+    the XLA path has (ops/cfft.py: 1-pass measured 4.1e-3 rel err).  The
+    integrated visibility must match the HIGH-precision unfused oracle to
+    bf16-rounding accuracy, and the knob must not touch the carried
+    history contract."""
+    from jax import tree
+
+    from fxtpu.fx import _STEP_CACHE
+    from fxtpu.ops import pfb_pallas
+
+    monkeypatch.setenv("FXTPU_FFT_PRECISION", "default")
+    _STEP_CACHE.clear()
+    pfb_pallas._fx_call.clear_cache()
+    try:
+        cfg = CorrelatorConfig(mode="SPECTRUM", num_samp=2**13, nbins=256,
+                               ntaps=ntaps, clamp_num_samp=False)
+        rng = np.random.default_rng(3)
+        k = 2
+        blocks = [(rng.normal(size=(2, cfg.num_samp))
+                   + 1j * rng.normal(size=(2, cfg.num_samp))
+                   ).astype(np.complex64) for _ in range(k)]
+        delays = jnp.zeros((k, 2), jnp.float32)
+        eng_f = FxEngine(cfg, fused=True)
+        vf, _ = eng_f.multi_step(eng_f.prepare_batch(blocks),
+                                 delays, eng_f.fresh_history())
+    finally:
+        _STEP_CACHE.clear()
+        pfb_pallas._fx_call.clear_cache()
+    # HIGH-precision oracle with the knob unset
+    monkeypatch.delenv("FXTPU_FFT_PRECISION", raising=False)
+    eng_u = FxEngine(cfg, fused=False)
+    iq_u = tree.map(lambda *xs: jnp.stack(xs),
+                    *[eng_u.prepare_block(b) for b in blocks])
+    vu, _ = eng_u.multi_step(iq_u, delays, eng_u.fresh_history())
+    scale = np.abs(to_complex(vu)).max()
+    diff = np.abs(to_complex(vf) - to_complex(vu)).max() / scale
+    assert diff < 2e-2, diff           # bf16 rounding, not a wrong path
+    assert diff > 1e-6, diff           # and the knob actually engaged
+
+
+def test_resolve_fused_honors_highest_precision(monkeypatch):
+    """'auto' must stay on the XLA path at FXTPU_FFT_PRECISION=highest —
+    the fused kernel caps at HIGH (3-pass); only cfft implements 6-pass."""
+    import jax as _jax
+
+    from fxtpu.fx import _resolve_fused
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    assert _resolve_fused("auto", 256, 4, 32, 2) is True
+    monkeypatch.setenv("FXTPU_FFT_PRECISION", "highest")
+    assert _resolve_fused("auto", 256, 4, 32, 2) is False
+    # an explicit fused=True still forces the kernel (with a warning at
+    # trace time) — the knob only steers 'auto'
+    assert _resolve_fused(True, 256, 4, 32, 2) is True
+
+
 class TestInt8NativeFlagshipShape(TestInt8NativeFused):
     """The production flagship shape at int8 ingest width (bench config
     ``default_int8``): 4096 bins -> 1024 PACKED int32 lanes (vs 64 in the
