@@ -76,9 +76,11 @@ def _resolve_fused(fused, nbins, ntaps, s_rows, nch: int = 2,
                                                        or deep_svd)
         # the fused kernel caps at HIGH (3-pass split-bf16); HIGHEST
         # (6-pass) only exists on the XLA path (ops/cfft.py) — honor the
-        # user's precision request over the faster kernel
-        if os.environ.get("FXTPU_FFT_PRECISION", "high").lower() \
-                == "highest":
+        # user's precision request over the faster kernel.  Bound via
+        # cfft.precision_name() — the same trace-time binding cfft's own
+        # dots use, so routing can never disagree with what the XLA path
+        # actually computes (r2 review finding).
+        if cfft.precision_name() == "highest":
             fused = False
     return bool(fused) and pfb_pallas.supported(nbins, ntaps, s_rows, nch)
 
@@ -422,8 +424,12 @@ _STEP_CACHE: dict = {}
 
 
 def _cached_step(kind: str, key: tuple, build):
+    # key on EVERY trace-time env knob (the XLA FFT knobs AND the fused
+    # kernel's DMA/precision knobs via pfb_pallas._trace_env) so a fresh
+    # engine built after an env flip never gets a stale step
+    from fxtpu.ops.pfb_pallas import _trace_env
     full = (kind, os.environ.get("FXTPU_PERMUTED_FFT", "0"),
-            os.environ.get("FXTPU_FFT_PRECISION", "high"), *key)
+            *_trace_env(), *key)
     if full not in _STEP_CACHE:
         _STEP_CACHE[full] = build()
     return _STEP_CACHE[full]

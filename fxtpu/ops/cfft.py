@@ -47,13 +47,27 @@ _LEAF = 128
 # "default" (1-pass bf16) = 13.4 GS/s at 4.1e-3 — a documented speed knob
 # for SNR-limited survey work, NOT the default (the reference is complex128
 # end-to-end and long integrations would expose a 4e-3 systematic).
-_PRECISION = {
+#
+# The env is re-read at TRACE time (r2 review: a module-level constant
+# froze the choice at first import, so flipping the env and building a
+# fresh engine silently kept the old precision while fx._STEP_CACHE —
+# which keys on the env var — pretended the change took effect).
+_PRECISION_MAP = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
-}[os.environ.get("FXTPU_FFT_PRECISION", "high").lower()]
+}
 
-_MM_KW = dict(precision=_PRECISION, preferred_element_type=jnp.float32)
+
+def precision_name() -> str:
+    """The FFT precision knob's current value ('default'|'high'|'highest'),
+    as every consumer must bind it: at trace/build time, not import."""
+    return os.environ.get("FXTPU_FFT_PRECISION", "high").lower()
+
+
+def _mm_kw():
+    return dict(precision=_PRECISION_MAP[precision_name()],
+                preferred_element_type=jnp.float32)
 
 
 @functools.lru_cache(maxsize=64)
@@ -123,10 +137,10 @@ def _direct(re, im, n: int, inverse: bool):
     c = jnp.asarray(c)
     s = jnp.asarray(s)
     # (C + jS) @ (re + j im): 4 real matmuls on the MXU
-    out_re = jnp.einsum("kn,...n->...k", c, re, **_MM_KW) \
-        - jnp.einsum("kn,...n->...k", s, im, **_MM_KW)
-    out_im = jnp.einsum("kn,...n->...k", c, im, **_MM_KW) \
-        + jnp.einsum("kn,...n->...k", s, re, **_MM_KW)
+    out_re = jnp.einsum("kn,...n->...k", c, re, **_mm_kw()) \
+        - jnp.einsum("kn,...n->...k", s, im, **_mm_kw())
+    out_im = jnp.einsum("kn,...n->...k", c, im, **_mm_kw()) \
+        + jnp.einsum("kn,...n->...k", s, re, **_mm_kw())
     return out_re, out_im
 
 
@@ -142,10 +156,10 @@ def _ct(re, im, n: int, inverse: bool):
     im4 = im.reshape(*batch, n1, n2)
     # DFT_n1 along axis -2: A[k1, i2] = sum_i1 W_{n1}^{i1 k1} x[i1, i2]
     c, s = map(jnp.asarray, _dft_mats(n1, inverse))
-    ar = jnp.einsum("ki,...ij->...kj", c, re4, **_MM_KW) \
-        - jnp.einsum("ki,...ij->...kj", s, im4, **_MM_KW)
-    ai = jnp.einsum("ki,...ij->...kj", c, im4, **_MM_KW) \
-        + jnp.einsum("ki,...ij->...kj", s, re4, **_MM_KW)
+    ar = jnp.einsum("ki,...ij->...kj", c, re4, **_mm_kw()) \
+        - jnp.einsum("ki,...ij->...kj", s, im4, **_mm_kw())
+    ai = jnp.einsum("ki,...ij->...kj", c, im4, **_mm_kw()) \
+        + jnp.einsum("ki,...ij->...kj", s, re4, **_mm_kw())
     # twiddle W_N^{k1 i2}
     tc, ts = map(jnp.asarray, _twiddle(n1, n2, inverse))
     br = ar * tc - ai * ts
@@ -231,10 +245,10 @@ def _ct_noswap(re, im, n: int, inverse: bool):
     re4 = re.reshape(*batch, n1, n2)
     im4 = im.reshape(*batch, n1, n2)
     c, s = map(jnp.asarray, _dft_mats(n1, inverse))
-    ar = jnp.einsum("ki,...ij->...kj", c, re4, **_MM_KW) \
-        - jnp.einsum("ki,...ij->...kj", s, im4, **_MM_KW)
-    ai = jnp.einsum("ki,...ij->...kj", c, im4, **_MM_KW) \
-        + jnp.einsum("ki,...ij->...kj", s, re4, **_MM_KW)
+    ar = jnp.einsum("ki,...ij->...kj", c, re4, **_mm_kw()) \
+        - jnp.einsum("ki,...ij->...kj", s, im4, **_mm_kw())
+    ai = jnp.einsum("ki,...ij->...kj", c, im4, **_mm_kw()) \
+        + jnp.einsum("ki,...ij->...kj", s, re4, **_mm_kw())
     tc, ts = map(jnp.asarray, _twiddle(n1, n2, inverse))
     br = ar * tc - ai * ts
     bi = ar * ts + ai * tc

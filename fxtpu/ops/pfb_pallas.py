@@ -874,11 +874,27 @@ def _default_nbuf() -> int:
     return 2
 
 
+def _trace_env() -> tuple:
+    """Hashable snapshot of the trace-time kernel knobs: (nbuf, split_dma,
+    static_slot, fft_precision).  Passed as a STATIC argument of _fx_call
+    so its module-level jit cache splits on the env — without it, flipping
+    an env var and building a fresh engine would hit a stale executable
+    while fx._STEP_CACHE (keyed on the same env vars) pretends the change
+    took effect (r2 review finding)."""
+    import os as _os
+    from fxtpu.ops import cfft
+    return (int(_os.environ.get("FXTPU_FUSED_NBUF", "0")) or _default_nbuf(),
+            _os.environ.get("FXTPU_FUSED_SPLITDMA", "") == "1",
+            _os.environ.get("FXTPU_FUSED_STATIC_SLOT", "") == "1",
+            cfft.precision_name())
+
+
 @functools.partial(jax.jit,
                    static_argnames=("nbins", "tile", "k_blocks", "pairs_t",
-                                    "w_key", "quant_step"))
+                                    "w_key", "quant_step", "env_key"))
 def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
-             k_blocks: int, pairs_t, w_key=None, quant_step: float = 1.0):
+             k_blocks: int, pairs_t, w_key=None, quant_step: float = 1.0,
+             env_key: tuple = None):
     """x_re/x_im arrive MERGED over blocks: [nch, k_blocks*s_rows, lanes]
     (see _fx_kernel's layout note; fx_pallas_parts does the relayout)."""
     interpret = jax.default_backend() != "tpu"
@@ -959,20 +975,16 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
     # kernel's positional ref plumbing uniform
     hist_shape = (1, 1, 8, 128) if int8_in else (nch, 2, pad, nbins)
 
-    # DMA pipeline depth (slab ring size; nbuf-1 transfers in flight) and
-    # per-(channel, plane) descriptor split.  Read at trace time; defaults
-    # measured on v5e (see _default_nbuf).
-    import os as _os
-    nbuf = int(_os.environ.get("FXTPU_FUSED_NBUF", "0")) or _default_nbuf()
-    split_dma = _os.environ.get("FXTPU_FUSED_SPLITDMA", "") == "1"
-    static_slot = _os.environ.get("FXTPU_FUSED_STATIC_SLOT", "") == "1"
+    # Trace-time kernel knobs: part of _fx_call's STATIC cache key (see
+    # _trace_env — a bare env read here would let the module-level jit
+    # cache serve a stale executable after an env flip, r2 review).
+    nbuf, split_dma, static_slot, prec = env_key or _trace_env()
     # The fused kernel honors the SAME precision knob as the XLA path
     # (ops/cfft.py): DEFAULT = 1-pass bf16 dots (conv + both FFT stages),
     # HIGH (default) = the manual 3-pass split-bf16 (2-pass where the
     # input is bf16-exact).  HIGHEST is not implementable at MXU speed in
     # this kernel — fx._resolve_fused keeps 'auto' on the XLA path there;
     # a FORCED fused engine falls back to HIGH with a warning.
-    prec = _os.environ.get("FXTPU_FFT_PRECISION", "high").lower()
     one_pass = prec == "default"
     if prec == "highest":
         import warnings
@@ -1231,7 +1243,8 @@ def fx_pallas_parts(x: Cplx, w2d, nbins: int, history: Cplx, pairs,
     out, tsum, ufr, ssum, hist_out = _fx_call(
         rows_re, rows_im, hist,
         jnp.asarray(w2d, jnp.float32), nbins, tile, k_blocks, pairs_t,
-        w_key=w_key, quant_step=quant_step if int8_in else 1.0)
+        w_key=w_key, quant_step=quant_step if int8_in else 1.0,
+        env_key=_trace_env())
     inv = jnp.asarray(_fx_perm(nbins))
     nbl = out.shape[1]
 

@@ -652,6 +652,39 @@ def test_fused_default_precision_loose_parity(monkeypatch, ntaps):
     assert diff > 1e-6, diff           # and the knob actually engaged
 
 
+def test_fresh_engine_honors_precision_env_no_cache_clears(monkeypatch):
+    """r2 review: flipping FXTPU_FFT_PRECISION and building a FRESH
+    engine must actually change the numbers.  Previously the module-level
+    _fx_call jit cache (keyed only on shapes/statics) served the stale
+    executable while _STEP_CACHE — keyed on the env var — pretended the
+    change took effect.  Deliberately NO manual cache clearing here:
+    this is the library user's contract."""
+    cfg = CorrelatorConfig(mode="SPECTRUM", num_samp=2**13, nbins=256,
+                           clamp_num_samp=False)
+    rng = np.random.default_rng(9)
+    blocks = [(rng.normal(size=(2, cfg.num_samp))
+               + 1j * rng.normal(size=(2, cfg.num_samp))
+               ).astype(np.complex64) for _ in range(2)]
+    delays = jnp.zeros((2, 2), jnp.float32)
+
+    def run():
+        eng = FxEngine(cfg, fused=True)
+        v, _ = eng.multi_step(eng.prepare_batch(blocks), delays,
+                              eng.fresh_history())
+        return to_complex(v)
+
+    monkeypatch.delenv("FXTPU_FFT_PRECISION", raising=False)
+    v_high = run()
+    monkeypatch.setenv("FXTPU_FFT_PRECISION", "default")
+    v_1p = run()
+    scale = np.abs(v_high).max()
+    diff = np.abs(v_1p - v_high).max() / scale
+    assert 1e-6 < diff < 2e-2, diff
+    # and flipping BACK restores the high-precision numbers exactly
+    monkeypatch.delenv("FXTPU_FFT_PRECISION", raising=False)
+    np.testing.assert_array_equal(run(), v_high)
+
+
 def test_resolve_fused_honors_highest_precision(monkeypatch):
     """'auto' must stay on the XLA path at FXTPU_FFT_PRECISION=highest —
     the fused kernel caps at HIGH (3-pass); only cfft implements 6-pass."""
