@@ -8,12 +8,13 @@ and reports efficiency vs the single-device rate — the BASELINE.json >=85%
 1 chip -> 1 host -> N hosts target.
 
 On real multi-chip hardware this is the scaling number; this dev
-environment tunnels ONE v5e chip, so runs here fall back to the virtual
-CPU mesh (functional validation of the collective program, NOT a
+environment tunnels ONE v5e chip, which cannot sweep device counts —
+pass ``--cpu N`` to run the sweep on an N-device virtual CPU mesh
+instead (functional validation of the collective program, NOT a
 performance statement — it prints which).
 
 Usage:  python scripts/scaling_bench.py [--devices 1 2 4 8] [--freq 2]
-        [--block_pow 21] [--nbins 4096] [--iters 10]
+        [--block_pow 21] [--nbins 4096] [--iters 10] [--cpu 8]
 """
 
 import argparse
@@ -84,7 +85,20 @@ def main():
     p.add_argument("--block_pow", type=int, default=21)
     p.add_argument("--nbins", type=int, default=4096)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--cpu", type=int, default=0, metavar="N",
+                   help="run on an N-device virtual CPU mesh (functional "
+                        "validation; the 1-chip tunnel cannot sweep)")
     args = p.parse_args()
+
+    if args.cpu:
+        # must precede the first jax use: XLA_FLAGS is read at backend
+        # init, and JAX_PLATFORMS alone is overridden by this machine's
+        # sitecustomize (CLAUDE.md) — the config update is authoritative
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu}")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     n = len(jax.devices())
