@@ -24,6 +24,50 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 REFERENCE_AGGREGATE_SAMPLES_PER_S = 4.8e6  # BASELINE.md implied real-time rate
 
+
+def _wait_for_backend(max_wait: float | None = None) -> str | None:
+    """Block until the accelerator backend initializes, bounded retry.
+
+    The remote-device tunnel flaps (r2's driver capture failed with
+    ``Unable to initialize backend 'axon': UNAVAILABLE`` and lost the
+    round's number).  JAX caches backend-init FAILURES process-wide, so
+    each probe runs in a fresh subprocess; only after a probe succeeds
+    do we init in-process.  Returns None on success, else the last
+    probe error string after ``max_wait`` seconds
+    (env ``FXTPU_BENCH_BACKEND_WAIT``, default 900).
+    """
+    import subprocess
+    import sys
+
+    if max_wait is None:
+        max_wait = float(os.environ.get("FXTPU_BENCH_BACKEND_WAIT", "900"))
+    deadline = time.monotonic() + max_wait
+    delay, last_err = 15.0, "no probe ran"
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices()[0]; print(d.platform)"],
+                capture_output=True, text=True, timeout=300)
+            if r.returncode == 0:
+                return None
+            last_err = (r.stderr or r.stdout).strip().splitlines()[-1:]
+            last_err = last_err[0] if last_err else "probe failed"
+        except subprocess.TimeoutExpired:
+            last_err = "backend probe timed out after 300s"
+        if time.monotonic() >= deadline:
+            return last_err
+        time.sleep(min(delay, max(0.0, deadline - time.monotonic())))
+        delay = min(delay * 2, 120.0)
+
+
+def _emit_error(metric: str, err: str) -> None:
+    """Final-failure path: still print ONE parseable JSON line with the
+    stable metric name so the driver records a structured error instead
+    of a stack trace (VERDICT r2 weak #2)."""
+    print(json.dumps({"metric": metric, "value": 0, "unit": "samples/s",
+                      "vs_baseline": 0.0, "error": err}))
+
 #: Per-chip peak dense bf16 matmul throughput (flop/s) and HBM bandwidth
 #: (B/s) by device-kind substring — the roofline axes.
 _CHIP_PEAKS = {
@@ -358,14 +402,33 @@ def main(argv=None):
         print(json.dumps(out))
         return
 
+    if args.pipeline:
+        metric = ("2ch_end_to_end_pipeline_throughput"
+                  if args.ingest == "complex64"
+                  else "2ch_end_to_end_pipeline_throughput_int8")
+    elif args.config == "default":
+        metric = "2ch_4096bin_pfb_fft_x_aggregate_throughput"
+    else:
+        metric = f"{args.config}_pfb_fft_x_aggregate_throughput"
+
+    err = _wait_for_backend()
+    if err is not None:
+        _emit_error(metric, f"backend_unavailable: {err}")
+        return
+
+    try:
+        _run_measurement(args, metric)
+    except Exception as e:  # mid-run tunnel flap: still emit a record
+        _emit_error(metric, f"{type(e).__name__}: {e}")
+
+
+def _run_measurement(args, metric):
     import jax
 
     if args.pipeline:
         res = bench_pipeline(ingest=args.ingest)
         out = {
-            "metric": ("2ch_end_to_end_pipeline_throughput"
-                       if args.ingest == "complex64"
-                       else "2ch_end_to_end_pipeline_throughput_int8"),
+            "metric": metric,
             "value": round(res["samples_per_s"], 1),
             "unit": "samples/s",
             "vs_baseline": round(
@@ -377,9 +440,7 @@ def main(argv=None):
 
     kw = dict(CONFIGS[args.config])
     res = bench(iters=args.iters, **kw)
-    name = ("2ch_4096bin_pfb_fft_x_aggregate_throughput"
-            if args.config == "default"
-            else f"{args.config}_pfb_fft_x_aggregate_throughput")
+    name = metric
     nchan = kw.get("nchan", 2)
     autos = kw.get("include_autos", False)
     nbl = nchan * (nchan - 1) // 2 + (nchan if autos else 0)
