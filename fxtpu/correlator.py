@@ -563,6 +563,13 @@ class Correlator:
                 cal = self.engine.calibrate
 
                 def gcal(x):
+                    if jax.tree.leaves(x)[0].dtype == jnp.int32:
+                        # int8-NATIVE mesh ingest: packed words -> samples
+                        # (same transform engine.calibrate_block applies
+                        # on the single-device path)
+                        from fxtpu.ops.pfb_pallas import _unpack_i8
+                        x = jax.tree.map(
+                            lambda a: _unpack_i8(a, jnp.float32), x)
                     x = jax.tree.map(
                         lambda a: a.reshape(a.shape[0], -1)[..., :ncal], x)
                     return cal(x)
