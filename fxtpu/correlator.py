@@ -765,13 +765,29 @@ class Correlator:
     def snapshot(self, path: Optional[str] = None) -> str:
         """Write a resumable state snapshot (history, delays, accumulator,
         block counter)."""
+        import json
+
         from fxtpu.runtime import checkpoint
         path = path or self.snapshot_path
+        meta = {"blocks_consumed": np.int64(self._blocks_consumed)}
+        # full generator/cursor state: a resumed run reproduces the SAME
+        # stream an uninterrupted one would (SURVEY §5.4) — the block-index
+        # seek alone silently regenerates different noise for synthetic
+        # sources.  The feeder reads AHEAD of the consumer, so the state
+        # must come from its per-block log at blocks_consumed, NOT the
+        # source's current (read-ahead) state; the direct source state is
+        # only correct before the feeder starts.
+        if self.feeder is not None:
+            src_state = self.feeder.source_state_at(self._blocks_consumed)
+        else:
+            src_state = self.source.snapshot_state()
+        if src_state is not None:
+            meta["source_state"] = json.dumps(src_state)
         checkpoint.save_state(
             path, history=self.history, delays=self.calibrated_delays,
             blocks_processed=self.blocks_processed,
             accumulator=self._accumulator, accumulated=self._accumulated,
-            meta={"blocks_consumed": np.int64(self._blocks_consumed)})
+            meta=meta)
         self.logger.debug("state snapshot -> %s", path)
         return path
 
@@ -788,11 +804,26 @@ class Correlator:
         self.blocks_processed = state["blocks_processed"]
         self._accumulator = state["accumulator"]
         self._accumulated = state["accumulated"]
-        # Replay sources seek past the span the snapshotted run consumed
-        # (calibration blocks included).
         self._blocks_consumed = int(state["meta"].get(
             "blocks_consumed", self.blocks_processed))
-        if hasattr(self.source, "_pos"):
+        src_state = state["meta"].get("source_state")
+        if src_state is not None:
+            # restore the exact generator/cursor state (replay position,
+            # synthetic RNG, sinusoid phase) via the Source protocol
+            import json
+            self.source.restore_state(json.loads(str(src_state)))
+        elif hasattr(self.source, "_pos"):
+            # pre-source-state snapshot of a seekable replay: legacy seek
             self.source._pos = self._blocks_consumed * self.num_samp
+        else:
+            # refuse loudly instead of silently correlating DIFFERENT
+            # samples against the snapshotted tap history: live sources
+            # cannot reproduce their stream, and a legacy snapshot of a
+            # synthetic source carries no RNG state to restore
+            raise ValueError(
+                f"cannot resume from {path}: no source stream state in "
+                f"the snapshot and {type(self.source).__name__} is not "
+                "seekable (snapshot/resume requires a replay or "
+                "synthetic source; live streams cannot be reproduced)")
         self.logger.info("resumed from %s at block %d", path,
                          self.blocks_processed)

@@ -59,6 +59,17 @@ class Feeder:
         #: then hold local-span blocks for make_array_from_process_local_data.
         self.sample_span = sample_span
         self.blocks_fed = 0
+        # Per-block source stream-state log for checkpoint/resume: the
+        # feeder reads AHEAD of the consumer (rings hold unprocessed
+        # blocks), so the source's *current* state at snapshot time can be
+        # several blocks past `blocks_consumed`.  _state_log[k] is the
+        # stream state after exactly k reads — the consumer snapshots the
+        # entry at its own consumed count and a resumed run regenerates
+        # the first UNCONSUMED block, not the first un-read one.  Disabled
+        # for span mode (random-access reads) and for sources that return
+        # None (live radios cannot reproduce their stream).
+        self._state_log: dict = {}
+        self._state_lock = threading.Lock()
         #: True once _run selected the reserve/commit producer loop —
         #: lets tests and the pipeline bench assert the zero-copy path is
         #: actually active instead of silently falling back to put().
@@ -92,6 +103,27 @@ class Feeder:
     def alive(self) -> bool:
         return self._thread is not None and self._thread.is_alive()
 
+    _STATE_LOG_DEPTH = 1024  # >> any ring capacity; entries are tiny dicts
+
+    def _log_source_state(self, blocks_read: int):
+        """Record the source's stream state after ``blocks_read`` reads."""
+        if self.sample_span is not None:
+            return
+        state = self.source.snapshot_state()
+        if state is None:
+            return
+        with self._state_lock:
+            self._state_log[blocks_read] = state
+            if len(self._state_log) > self._STATE_LOG_DEPTH:
+                self._state_log.pop(min(self._state_log))
+
+    def source_state_at(self, blocks_consumed: int) -> Optional[dict]:
+        """Stream state after exactly ``blocks_consumed`` source reads (for
+        Correlator.snapshot), or None when unknown — span mode, a live
+        source, or an entry older than the log window."""
+        with self._state_lock:
+            return self._state_log.get(blocks_consumed)
+
     def _run(self):
         try:
             # Start barrier: common epoch for all feeders (effex.py:649-650).
@@ -114,10 +146,12 @@ class Feeder:
                     and hasattr(self.source, "read_block_into")
                     and getattr(self.source, "nchan", 0) == 1):
                 self.zero_copy = True
+                self._log_source_state(0)
                 self._run_zero_copy(t0, realtime)
                 logger.info("Buffering ended at %s",
                             time.strftime("%a, %d %b %Y %H:%M:%S"))
                 return
+            self._log_source_state(0)
             while not self._stop.is_set():
                 if self.sample_span is not None:
                     block = self.source.read_block_span(self.num_samp,
@@ -127,6 +161,7 @@ class Feeder:
                 if block is None:
                     logger.info("Source exhausted; feeder stopping.")
                     break
+                self._log_source_state(self.blocks_fed + 1)
                 if not realtime:
                     # wait for space in EVERY ring WITHOUT attempting puts
                     # (a timed-out put counts as a drop — these blocks are
@@ -189,6 +224,7 @@ class Feeder:
             if not src.read_block_into(view, self.num_samp):
                 logger.info("Source exhausted; feeder stopping.")
                 return
+            self._log_source_state(self.blocks_fed + 1)
             buf.commit(seq=self.blocks_fed)
             self.blocks_fed += 1
             if time.time() - t0 > self.run_time:

@@ -1,6 +1,6 @@
 """fxtpu.sources — pluggable IQ signal sources (the reference's L1 layer)."""
 
-from fxtpu.sources.base import Source
+from fxtpu.sources.base import LimitedSource, QuantizedSource, Source
 from fxtpu.sources.synthetic import (
     NoiseSource,
     SinusoidSource,
@@ -41,6 +41,7 @@ def _maybe_quantize(src, cfg):
 
 __all__ = [
     "Source", "NoiseSource", "SinusoidSource", "FaultInjectingSource",
+    "LimitedSource", "QuantizedSource",
     "ReplaySource", "save_recording", "make_source",
     "complex_noise", "complex_sinusoid", "fractional_delay",
 ]

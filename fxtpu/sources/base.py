@@ -102,6 +102,25 @@ class Source(abc.ABC):
             yield block
             await asyncio.sleep(0)
 
+    # -- checkpoint/resume ---------------------------------------------------
+    def snapshot_state(self) -> Optional[dict]:
+        """JSON-serializable stream state for checkpoint/resume, or None
+        when this source cannot reproduce its stream (live radios — their
+        samples exist once; SURVEY.md §5.4 resume contract: a resumed run
+        must produce the SAME samples the uninterrupted run would have).
+        Synthetic sources snapshot their RNG/phase state, replay sources
+        their cursor; wrappers delegate to the wrapped source."""
+        return None
+
+    def restore_state(self, state: dict) -> None:
+        """Restore a :meth:`snapshot_state` snapshot.  Raises for sources
+        that cannot resume (the Correlator surfaces this at --resume_from
+        time rather than silently regenerating DIFFERENT samples)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} cannot restore stream state — resume "
+            "is only possible for sources that can reproduce their stream "
+            "(replay/synthetic)")
+
     def stop(self):
         """Stop streaming (``sdr.stop()`` analog, ``effex.py:661``)."""
         self._stopped = True
@@ -109,6 +128,45 @@ class Source(abc.ABC):
     def close(self):
         """Release resources (``sdr.close()`` analog, ``effex.py:176-180``)."""
         self._stopped = True
+
+
+class LimitedSource(Source):
+    """Wraps a source and exhausts after ``limit`` blocks — turns an
+    endless synthetic generator into a deterministic fixed-length stream
+    (run length in BLOCKS instead of the reference's wall-clock
+    ``run_time``, ``effex.py:713``), which snapshot/resume tests and
+    reproducible benchmarks need."""
+
+    def __init__(self, inner: Source, limit: int):
+        super().__init__(inner.nchan, inner.sample_rate, inner.center_freq,
+                         inner.gain)
+        self.inner = inner
+        self.limit = int(limit)
+        self._read = 0
+        self.realtime = getattr(inner, "realtime", False)
+        self.max_stable_bandwidth = inner.max_stable_bandwidth
+
+    def read_block(self, num_samp: int):
+        if self._read >= self.limit:
+            return None
+        self._read += 1
+        return self.inner.read_block(num_samp)
+
+    # the limit is run-local (run B's budget is fresh), so only the inner
+    # stream state is snapshotted
+    def snapshot_state(self):
+        return self.inner.snapshot_state()
+
+    def restore_state(self, state: dict) -> None:
+        self.inner.restore_state(state)
+
+    def stop(self):
+        super().stop()
+        self.inner.stop()
+
+    def close(self):
+        super().close()
+        self.inner.close()
 
 
 class QuantizedSource(Source):
@@ -185,6 +243,12 @@ class QuantizedSource(Source):
         if block is None:
             return None
         return self._quantize(block, self.quant_step)
+
+    def snapshot_state(self):
+        return self.inner.snapshot_state()
+
+    def restore_state(self, state: dict) -> None:
+        self.inner.restore_state(state)
 
     def stop(self):
         super().stop()

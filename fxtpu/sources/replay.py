@@ -101,6 +101,12 @@ class ReplaySource(Source):
         self._pos += num_samp
         return True
 
+    def snapshot_state(self) -> dict:
+        return {"pos": self._pos}
+
+    def restore_state(self, state: dict) -> None:
+        self._pos = int(state["pos"])
+
     def read_block_span(self, num_samp: int, start: int,
                         stop: int) -> Optional[np.ndarray]:
         """Random-access span read: materializes only [start, stop) of the

@@ -80,6 +80,15 @@ class NoiseSource(Source):
             out[c] = sig + complex_noise(self._rng, num_samp, noise_scale)
         return out
 
+    def snapshot_state(self) -> dict:
+        # bit_generator.state is a plain nested dict of ints/strs — the
+        # full generator position, so a resumed run regenerates the SAME
+        # noise an uninterrupted run would have (SURVEY §5.4)
+        return {"rng": self._rng.bit_generator.state}
+
+    def restore_state(self, state: dict) -> None:
+        self._rng.bit_generator.state = state["rng"]
+
 
 class SinusoidSource(Source):
     """Correlated complex tone across N channels (phase-continuous between
@@ -107,6 +116,13 @@ class SinusoidSource(Source):
                 out[c] += complex_noise(self._rng, num_samp, self.noise_scale)
         self._t0 += num_samp / self.sample_rate
         return out
+
+    def snapshot_state(self) -> dict:
+        return {"rng": self._rng.bit_generator.state, "t0": self._t0}
+
+    def restore_state(self, state: dict) -> None:
+        self._rng.bit_generator.state = state["rng"]
+        self._t0 = float(state["t0"])
 
 
 class FaultInjectingSource(Source):
@@ -140,6 +156,16 @@ class FaultInjectingSource(Source):
         if self.short_every and self._count % self.short_every == 0 and block is not None:
             block = block[:, : num_samp // 2]  # short read
         return block
+
+    def snapshot_state(self):
+        inner = self.inner.snapshot_state()
+        if inner is None:
+            return None
+        return {"inner": inner, "count": self._count}
+
+    def restore_state(self, state: dict) -> None:
+        self.inner.restore_state(state["inner"])
+        self._count = int(state["count"])
 
     def stop(self):
         super().stop()

@@ -357,6 +357,75 @@ def test_snapshot_resume_roundtrip(tmp_path):
     np.testing.assert_allclose(b, full[4:], rtol=2e-4, atol=1e-9)
 
 
+def test_snapshot_resume_synthetic_source(tmp_path):
+    """Resume with a NoiseSource regenerates the SAME noise the
+    uninterrupted run would have (SURVEY §5.4 resume contract): the
+    snapshot carries the generator state at ``blocks_consumed`` — from the
+    feeder's per-block state log, NOT the source's current state, which
+    has read AHEAD into the rings — so the resumed rows equal the tail of
+    a single full run."""
+    from fxtpu.sources import LimitedSource
+
+    def run(limit, output, **kw):
+        cfg = CorrelatorConfig(num_samp=2**14, nbins=2**10, run_time=60,
+                               clamp_num_samp=False, loglevel="WARNING",
+                               output_file=str(tmp_path / output), **kw)
+        src = LimitedSource(NoiseSource(nchan=2, seed=31,
+                                        delays=[0.0, 1e-6]), limit)
+        cor = Correlator(config=cfg, source=src)
+        cor.run_state_machine()
+        return cor
+
+    # oracle: one uninterrupted 8-block run (1 calibrate + 7 rows)
+    cor_full = run(8, "full.csv")
+    _, full = load_products(cor_full.output_file)
+    assert full.shape[0] == 7
+
+    # run A: same stream, exhausted after 5 blocks, snapshotting every 2
+    corA = run(5, "a.csv", snapshot_every=2)
+    assert corA.blocks_processed == 4
+    import os
+    assert os.path.exists(corA.snapshot_path)
+
+    # run B: FRESH same-seed source + restore -> continues blocks 5..7
+    corB = run(3, "b.csv", calibrate_on_start=False,
+               resume_from=corA.snapshot_path)
+    assert corB.blocks_processed == 7
+    assert np.allclose(corB.calibrated_delays, corA.calibrated_delays)
+    _, b = load_products(str(tmp_path / "b.csv"))
+    np.testing.assert_allclose(np.atleast_2d(b), full[4:], rtol=2e-4,
+                               atol=1e-9)
+
+
+def test_resume_refuses_without_stream_state(tmp_path):
+    """A snapshot with no source stream state + a non-seekable source must
+    refuse to resume (silently correlating DIFFERENT noise against the
+    snapshotted tap history is the failure mode VERDICT r2 #3 flagged)."""
+    from fxtpu.sources import LimitedSource
+
+    cfg = CorrelatorConfig(num_samp=2**14, nbins=2**10, run_time=60,
+                           clamp_num_samp=False, loglevel="WARNING",
+                           snapshot_every=2,
+                           output_file=str(tmp_path / "a.csv"))
+    src = LimitedSource(NoiseSource(nchan=2, seed=32), 5)
+    cor = Correlator(config=cfg, source=src)
+    cor.run_state_machine()
+    snap = cor.snapshot_path
+
+    # strip the stream state (a legacy / live-source snapshot)
+    with np.load(snap, allow_pickle=False) as z:
+        payload = {k: z[k] for k in z.files if k != "meta_source_state"}
+    np.savez(snap, **payload)
+
+    cfg2 = CorrelatorConfig(num_samp=2**14, nbins=2**10, run_time=60,
+                            clamp_num_samp=False, loglevel="WARNING",
+                            calibrate_on_start=False, resume_from=snap,
+                            output_file=str(tmp_path / "b.csv"))
+    with pytest.raises(ValueError, match="cannot resume"):
+        Correlator(config=cfg2, source=LimitedSource(
+            NoiseSource(nchan=2, seed=32), 3))
+
+
 def test_metrics_report(tmp_path):
     cor = run_correlator(tmp_path, mode="CONTINUUM")
     r = cor.metrics.rates()
