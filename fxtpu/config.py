@@ -91,6 +91,10 @@ class CorrelatorConfig:
     buffer_chunks: Optional[int] = None  # ring-buffer capacity per channel
     startup_duration: float = 1.0        # common-epoch barrier (effex.py:39-40)
     keyboard_control: bool = False       # stdin 'c' -> recalibrate (effex.py:158-162)
+    channel_feeders: bool = True         # one feeder per channel when the
+                                         # source can split (zero-copy
+                                         # reserve/commit producer path);
+                                         # False = single multi-channel feeder
 
     # --- sharding -----------------------------------------------------------
     mesh_time: int = 1             # time-block shards (DP analog)

@@ -161,7 +161,7 @@ class Correlator:
             for _ in range(config.nchan)
         ]
         self.aligner = BlockAligner(self.bufs)
-        self.feeder: Optional[Feeder] = None
+        self.feeders: list = []
         self.stager = None  # DeviceStager, started on first RUN entry
 
         # --- compute engine (F+X, device side) ---------------------------
@@ -195,6 +195,22 @@ class Correlator:
     # ------------------------------------------------------------------
     # Properties with validation + source pass-through (effex.py:231-320)
     # ------------------------------------------------------------------
+    @property
+    def feeder(self) -> Optional[Feeder]:
+        """Primary feeder (None before streaming starts).  Production may
+        run one feeder PER CHANNEL (``self.feeders``) so each pairs a
+        1-channel source with 1 native ring — the zero-copy
+        reserve/commit producer's activation condition."""
+        return self.feeders[0] if self.feeders else None
+
+    @feeder.setter
+    def feeder(self, value):
+        self.feeders = [] if value is None else [value]
+
+    @property
+    def _feeding(self) -> bool:
+        return any(f.alive for f in self.feeders)
+
     @property
     def state(self):
         """The current state in the correlator's internal state machine."""
@@ -376,8 +392,7 @@ class Correlator:
         stager = getattr(self, "stager", None)
         if stager is not None:
             stager.stop()
-        feeder = getattr(self, "feeder", None)
-        if feeder is not None:
+        for feeder in getattr(self, "feeders", []):
             feeder.stop()
         source = getattr(self, "source", None)
         if source is not None:
@@ -447,8 +462,7 @@ class Correlator:
                 self.logger.debug("Fetching samples took %f s",
                                   time.time() - t_fetch)
                 if block is None:
-                    feeding = self.feeder is not None and self.feeder.alive
-                    if not drain.miss(feeding, self.bufs):
+                    if not drain.miss(self._feeding, self.bufs):
                         self.logger.debug("Buffers empty, waiting")
                         continue
                     # Feeder done and buffers drained: wait for output drain
@@ -512,12 +526,31 @@ class Correlator:
             time.strftime("%a, %d %b %Y %H:%M:%S",
                           time.localtime(self.start_time)))
 
-        self.feeder = Feeder(self.source, self.bufs, self.num_samp,
-                             start_time=self.start_time,
-                             run_time=self.run_time,
-                             exc_queue=self.exc_queue,
-                             sample_span=self.sample_span).start()
-        self.logger.debug("Started feeder thread.")
+        # Per-channel feeders whenever the source can split (replay and
+        # its quantized wrapper): each pairs a 1-channel source with its
+        # own native ring, which is exactly the zero-copy reserve/commit
+        # producer's activation condition — the ≥100 MS/s host plane runs
+        # in production, not just in the bench rig (r2 review).  Sources
+        # that can't split (one generator / one USB device) keep the
+        # single multi-channel feeder.
+        splits = (self.source.split_channels()
+                  if self.config.channel_feeders and self.sample_span is None
+                  else None)
+        if splits is not None:
+            self.feeders = [
+                Feeder(src, [buf], self.num_samp,
+                       start_time=self.start_time, run_time=self.run_time,
+                       exc_queue=self.exc_queue).start()
+                for src, buf in zip(splits, self.bufs)]
+            self.logger.debug("Started %d per-channel feeder threads.",
+                              len(self.feeders))
+        else:
+            self.feeder = Feeder(self.source, self.bufs, self.num_samp,
+                                 start_time=self.start_time,
+                                 run_time=self.run_time,
+                                 exc_queue=self.exc_queue,
+                                 sample_span=self.sample_span).start()
+            self.logger.debug("Started feeder thread.")
 
         if self._is_primary:
             self.writer = products.VisibilityWriter(
@@ -668,7 +701,7 @@ class Correlator:
         self.stager = DeviceStager(
             self.aligner, self.engine.prepare_block,
             batch=self._dispatch_batch, exc_queue=self.exc_queue,
-            feeding=lambda: self.feeder is not None and self.feeder.alive,
+            feeding=lambda: self._feeding,
             prepare_batch=self.engine.prepare_batch,
         ).start()
         self.logger.debug("Started device stager (batch=%d).",

@@ -121,6 +121,18 @@ class Source(abc.ABC):
             "is only possible for sources that can reproduce their stream "
             "(replay/synthetic)")
 
+    # -- per-channel parallel ingest ------------------------------------------
+    def split_channels(self) -> Optional[list]:
+        """Split into N independent single-channel sources over the same
+        stream, or None when the channels cannot be read independently
+        (synthetic correlated noise shares one generator; a live radio is
+        one USB device).  This is what activates the zero-copy
+        reserve/commit producer in production: the Correlator spawns one
+        Feeder per split, each pairing a 1-channel source with 1 native
+        ring — the configuration the reference gets from one process per
+        SDR (``effex.py:630-650``), minus its pickle+queue copies."""
+        return None
+
     def stop(self):
         """Stop streaming (``sdr.stop()`` analog, ``effex.py:661``)."""
         self._stopped = True
@@ -243,6 +255,16 @@ class QuantizedSource(Source):
         if block is None:
             return None
         return self._quantize(block, self.quant_step)
+
+    def split_channels(self):
+        """Per-channel quantizing splits: quantization is per-sample, so a
+        QuantizedSource over channel c of the recording equals channel c
+        of the QuantizedSource — each split keeps the int8 zero-copy
+        ``read_block_into`` (quantize straight into the ring slot)."""
+        inners = self.inner.split_channels()
+        if inners is None:
+            return None
+        return [QuantizedSource(i, self.quant_step) for i in inners]
 
     def snapshot_state(self):
         return self.inner.snapshot_state()

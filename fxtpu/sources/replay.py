@@ -71,6 +71,24 @@ class ReplaySource(Source):
         self.nchan = self._data.shape[0]
         return self
 
+    def split_channels(self) -> list:
+        """Independent single-channel ReplaySources over zero-copy views of
+        the same recording, each starting at THIS source's current cursor
+        (so a resume-restored position carries into the splits).  Channel
+        reads then run concurrently — numpy copies release the GIL — and
+        each split satisfies the zero-copy producer's 1-channel
+        requirement (`runtime/feeder.py` reserve/commit loop)."""
+        outs = []
+        for c in range(self.nchan):
+            s = ReplaySource.__new__(ReplaySource)
+            Source.__init__(s, 1, self.sample_rate, self.center_freq,
+                            self.gain)
+            s._data = self._data[c: c + 1]
+            s._pos = self._pos
+            s.loop = self.loop
+            outs.append(s)
+        return outs
+
     def read_block(self, num_samp: int) -> Optional[np.ndarray]:
         n = self._data.shape[1]
         if self._pos + num_samp > n:
