@@ -161,6 +161,13 @@ class Feeder:
                 if block is None:
                     logger.info("Source exhausted; feeder stopping.")
                     break
+                # source-level losses (USB gap / injected fault) become
+                # ring-level SEQUENCE GAPS — the aligner's realign path —
+                # instead of silently shifting this channel's stream
+                # against its siblings
+                dropped = getattr(self.source, "take_dropped", None)
+                if dropped is not None:
+                    self.blocks_fed += dropped()
                 self._log_source_state(self.blocks_fed + 1)
                 if not realtime:
                     # wait for space in EVERY ring WITHOUT attempting puts

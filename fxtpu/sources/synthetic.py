@@ -127,17 +127,29 @@ class SinusoidSource(Source):
 
 class FaultInjectingSource(Source):
     """Wraps another source and injects faults (dropped or short blocks) on
-    a schedule — the fault-injection hook SURVEY.md §5.3 calls for."""
+    a schedule — the fault-injection hook SURVEY.md §5.3 calls for.
+
+    A drop is a REAL stream gap: the skipped block's sequence number is
+    skipped too (the feeder reads :meth:`take_dropped` and advances its
+    seq counter), so downstream ring blocks carry the gap exactly like a
+    live radio losing a USB transfer.  ``drop_channel`` confines the drop
+    schedule to one channel — via :meth:`split_channels`, so it requires
+    per-channel feeders — which is what actually exercises the
+    :class:`~fxtpu.runtime.feeder.BlockAligner`'s seq-realign path end to
+    end (an all-channel drop stays aligned)."""
 
     def __init__(self, inner: Source, drop_every: int = 0,
-                 short_every: int = 0, fail_at: int = -1):
+                 short_every: int = 0, fail_at: int = -1,
+                 drop_channel: Optional[int] = None):
         super().__init__(inner.nchan, inner.sample_rate, inner.center_freq,
                          inner.gain)
         self.inner = inner
         self.drop_every = drop_every
         self.short_every = short_every
         self.fail_at = fail_at
+        self.drop_channel = drop_channel
         self._count = 0
+        self._dropped = 0
         # transparent wrapper: keep the inner source's feeder discipline
         # (realtime drop-vs-backpressure) and bandwidth ceiling, like
         # QuantizedSource
@@ -151,11 +163,35 @@ class FaultInjectingSource(Source):
         block = self.inner.read_block(num_samp)
         if block is None:
             return None
-        if self.drop_every and self._count % self.drop_every == 0:
+        if (self.drop_every and self.drop_channel is None
+                and self._count % self.drop_every == 0):
             block = self.inner.read_block(num_samp)  # skip one (a drop)
+            self._dropped += 1
         if self.short_every and self._count % self.short_every == 0 and block is not None:
             block = block[:, : num_samp // 2]  # short read
         return block
+
+    def take_dropped(self) -> int:
+        """Number of blocks lost since the last call (feeder protocol:
+        the feeder advances its seq counter by this, turning the loss
+        into a ring-level sequence gap)."""
+        n = self._dropped
+        self._dropped = 0
+        return n
+
+    def split_channels(self):
+        """Split the wrapped source; the drop schedule rides ONLY
+        ``drop_channel``'s split (every split when drop_channel is None),
+        so one channel's feeder sees stream gaps its siblings don't."""
+        inners = self.inner.split_channels()
+        if inners is None:
+            return None
+        return [
+            FaultInjectingSource(s, drop_every=self.drop_every,
+                                 short_every=self.short_every,
+                                 fail_at=self.fail_at)
+            if self.drop_channel is None or c == self.drop_channel else s
+            for c, s in enumerate(inners)]
 
     def snapshot_state(self):
         inner = self.inner.snapshot_state()

@@ -231,6 +231,35 @@ def test_child_exception_shuts_down(tmp_path):
     assert cor.blocks_processed <= 3
 
 
+def test_single_channel_drop_realigns_end_to_end(tmp_path):
+    """An injected SINGLE-channel stream gap (drop_channel) flows through
+    a real Correlator run: the faulted channel's feeder skips the seq,
+    the BlockAligner discards the siblings' now-unpairable blocks
+    (realigned > 0), and the surviving product rows stay phase-coherent —
+    misaligned noise blocks would decorrelate them (SURVEY §5.2/§5.3)."""
+    from fxtpu.sources import FaultInjectingSource
+    src = NoiseSource(nchan=2, seed=23, delays=[0.0, 1e-6])
+    rec = save_recording(src, str(tmp_path / "rec.npy"), 2**14, 10)
+    faulted = FaultInjectingSource(ReplaySource(rec), drop_every=3,
+                                   drop_channel=1)
+    cfg = CorrelatorConfig(num_samp=2**14, nbins=2**10, run_time=60,
+                           clamp_num_samp=False, loglevel="WARNING",
+                           output_file=str(tmp_path / "vis.csv"))
+    cor = Correlator(config=cfg, source=faulted)
+    cor.run_state_machine()
+    # ch1 lost reads 3/6/9's blocks -> 2 full drops before exhaustion
+    assert cor.aligner.realigned >= 2
+    # 10 blocks, ch1 kept 8 of them -> 8 aligned pairs = 1 cal + 7 rows
+    assert cor.blocks_processed == 7
+    _, data = load_products(cor.output_file)
+    assert np.atleast_2d(data).shape[0] == 7
+    err_samples = abs(cor.calibrated_delays[1] - 1e-6) * 2.4e6
+    assert err_samples < 0.5
+    ph = np.angle(np.atleast_2d(data).mean(axis=0))
+    inner = slice(2**10 // 4, 3 * 2**10 // 4)
+    assert np.std(np.unwrap(ph[inner])) < 0.35
+
+
 def test_cli_end_to_end(tmp_path):
     from fxtpu.cli import main
     out = str(tmp_path / "cli.csv")
@@ -355,6 +384,43 @@ def test_snapshot_resume_roundtrip(tmp_path):
     # and the resumed rows equal the tail of the full run
     b = np.atleast_2d(b)
     np.testing.assert_allclose(b, full[4:], rtol=2e-4, atol=1e-9)
+
+
+def test_zero_copy_feeders_are_the_production_path(tmp_path):
+    """A plain replay Correlator run (not a bench rig) spawns one feeder
+    per channel, each on the zero-copy reserve/commit producer loop
+    (VERDICT r2: the demonstrated >=100 MS/s host plane must be what
+    production actually runs).  Products match the single-feeder path."""
+    src = NoiseSource(nchan=2, seed=17)
+    rec = save_recording(src, str(tmp_path / "rec.npy"), 2**14, 6)
+
+    cor = run_correlator(tmp_path, source="replay", replay_file=rec,
+                         output_file=str(tmp_path / "zc.csv"))
+    assert len(cor.feeders) == 2
+    assert all(f.zero_copy for f in cor.feeders)
+
+    cor1 = run_correlator(tmp_path, source="replay", replay_file=rec,
+                          channel_feeders=False,
+                          output_file=str(tmp_path / "one.csv"))
+    assert len(cor1.feeders) == 1 and not cor1.feeders[0].zero_copy
+    _, zc = load_products(str(tmp_path / "zc.csv"))
+    _, one = load_products(str(tmp_path / "one.csv"))
+    np.testing.assert_allclose(zc, one, rtol=2e-5, atol=1e-10)
+
+
+def test_zero_copy_feeders_int8(tmp_path):
+    """int8 ingest splits per channel too: QuantizedSource splits quantize
+    straight into the int8 ring slots (read_block_into)."""
+    src = NoiseSource(nchan=2, seed=18)
+    rec = save_recording(src, str(tmp_path / "rec.npy"), 2**14, 6)
+    cor = run_correlator(tmp_path, source="replay", replay_file=rec,
+                         ingest_dtype="int8",
+                         output_file=str(tmp_path / "zc8.csv"))
+    assert len(cor.feeders) == 2
+    assert all(f.zero_copy for f in cor.feeders)
+    assert cor.bufs[0].dtype == np.int8
+    _, d = load_products(str(tmp_path / "zc8.csv"))
+    assert np.atleast_2d(d).shape[0] == cor.blocks_processed >= 1
 
 
 def test_snapshot_resume_synthetic_source(tmp_path):
