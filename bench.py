@@ -69,7 +69,9 @@ def _emit_error(metric: str, err: str) -> None:
                       "vs_baseline": 0.0, "error": err}))
 
 #: Per-chip peak dense bf16 matmul throughput (flop/s) and HBM bandwidth
-#: (B/s) by device-kind substring — the roofline axes.
+#: (B/s) by device-kind substring — the roofline axes.  NOMINAL published
+#: datasheet figures: only the v5e entry has ever been exercised on this
+#: rig; the others are denominators-in-waiting, not measurements.
 _CHIP_PEAKS = {
     "v5 lite": (197e12, 819e9),   # TPU v5e
     "v5e": (197e12, 819e9),

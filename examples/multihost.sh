@@ -6,11 +6,12 @@
 # On a real TPU pod, replace --coordinator with host0's address and drop
 # --local_devices (the TPU runtime supplies the per-host devices).
 set -e
-COORD=127.0.0.1:9731
-REC=${1:?usage: multihost.sh recording.npy}
+COORD=${FXTPU_COORD:-127.0.0.1:9731}
+REC=${1:?usage: multihost.sh recording.npy [extra flags...]}
+shift || true
 ARGS="--source replay --replay_file $REC --num_samp 16384 --resolution 256 \
       --mode spectrum --omit_plot --no_keyboard --output /tmp/vis_mh.csv \
-      --num_processes 2 --coordinator $COORD --local_devices 4"
+      --num_processes 2 --coordinator $COORD --local_devices 4 $*"
 python -m fxtpu $ARGS --process_id 1 &
 RANK1=$!
 # if rank 0 dies, don't orphan rank 1 holding the coordinator port

@@ -19,6 +19,7 @@ python -m fxtpu \
     --no_keyboard \
     --output visibilities_example.csv \
     --save_plot visibilities_example.png \
-    -L INFO
+    -L INFO \
+    "$@"   # extra/override flags (argparse last-wins), e.g. --platform cpu
 
 echo "products: visibilities_example.csv / visibilities_example.png"

@@ -106,11 +106,22 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--local_devices", default=4, type=int,
                         help="Multi-host on CPU: virtual devices per "
                              "process (ignored on real TPU hosts).")
+    parser.add_argument("--platform", default="auto",
+                        choices=["auto", "cpu", "tpu"],
+                        help="JAX backend: auto (whatever jax picks), or "
+                             "force cpu/tpu. cpu makes every run — "
+                             "examples, CI, demos — hardware-free.")
     return parser
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if args.platform != "auto":
+        # must precede ANY backend touch; config.update beats platform
+        # env vars that site hooks may have pinned
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     if args.num_processes > 1:
         # Bring up the multi-controller runtime BEFORE any backend touch;

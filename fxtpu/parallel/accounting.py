@@ -1,0 +1,137 @@
+"""Per-block ICI collective-volume accounting for the sharded FX step.
+
+The ≥85% scaling target (BASELINE.md) cannot be measured on a one-chip
+rig, but the thing that predicts it can be PROVEN: the bytes each block
+moves over ICI.  This module gives both sides of that proof:
+
+  * :func:`predicted_volume` — the analytic per-block payload model from
+    the sharded-step design (`parallel/sharded.py`):
+
+      - halo ``ppermute``: the stacked ``[2, nch, ntaps-1, nbins]`` tail
+        (packed ``/4`` for int8-native),
+      - psums: the fused path reduces the raw cross-power ``[nbl, nbins]``
+        + the DC accumulators T/GJ ``[nch, nbins]`` + the stream tail;
+        the XLA path reduces the integrated ``[nbl, nbins/F]`` + tail,
+      - corner turn ``all_to_all`` (XLA path only, F>1): the full local
+        spectra ``[2, nch, S/n, nbins]`` — O(num_samp) per device and the
+        reason the fused no-corner-turn design wins at scale.
+
+  * :func:`measured_volume` — the same numbers read back from the ACTUAL
+    compiled executable: lower + compile the jitted step, parse every
+    collective op (all-reduce / collective-permute / all-to-all /
+    all-gather / reduce-scatter, sync or async-start form) and sum each
+    op's result payload bytes.
+
+`tests/test_accounting.py` asserts they agree, so the design claim
+("collective traffic per block drops from O(num_samp) to O(nbl·nbins) +
+the halo", sharded.py:263-265) is checked against what XLA actually
+emits, not just stated.  The reference has no distributed execution at
+all (its transport is single-host multiprocessing queues,
+``/root/reference/effex/effex.py:105-106``).
+
+Payload convention: bytes of each collective's RESULT array(s), i.e. the
+per-device payload a transfer handles — not wire bytes (which depend on
+ring vs tree implementation choices XLA makes per topology).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+_DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "bf16": 2, "f16": 2,
+    "s64": 8, "u64": 8, "s32": 4, "u32": 4, "s16": 2, "u16": 2,
+    "s8": 1, "u8": 1, "pred": 1, "c64": 8, "c128": 16,
+}
+
+_OPS = ("all-reduce", "collective-permute", "all-to-all", "all-gather",
+        "reduce-scatter")
+
+# `%name = f32[2,3]{1,0} all-reduce(...)` or tuple-result / async-start
+# forms: `%name = (f32[..], f32[..]) all-reduce-start(...)`
+_LINE_RE = re.compile(
+    r"=\s*(\([^)]*\)|\S+)\s+(" + "|".join(_OPS) + r")(-start)?\(")
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+
+
+def _shape_bytes(text: str) -> int:
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(text):
+        if dt not in _DTYPE_BYTES:
+            continue  # layout annotations etc.
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def measured_volume(step, *example_args) -> Dict[str, int]:
+    """Compile ``step`` (a jitted callable) on its example args and return
+    per-collective-op result-payload bytes, summed over the program."""
+    hlo = step.lower(*example_args).compile().as_text()
+    out = {op: 0 for op in _OPS}
+    for line in hlo.splitlines():
+        m = _LINE_RE.search(line)
+        if not m:
+            continue
+        shapes, op = m.group(1), m.group(2)
+        if op == "all-to-all" and "-done" in line.split(op)[0]:
+            continue
+        # async pairs appear as op-start/op-done over the same payload —
+        # the -start carries it; plain -done lines don't match _LINE_RE
+        # (no '(' after op name in their operand position) except via
+        # result shape, so guard explicitly:
+        out[op] += _shape_bytes(shapes)
+    return out
+
+
+def predicted_volume(*, nch: int, nbl: int, nbins: int, num_samp: int,
+                     ntaps: int, mesh_time: int, mesh_freq: int,
+                     fused: bool, int8_native: bool = False,
+                     continuum: bool = False) -> Dict[str, int]:
+    """Analytic per-block collective payload (bytes) of the sharded step.
+
+    Mirrors `parallel/sharded.py` op by op; see the test for the
+    measured-equals-predicted assertion."""
+    n = mesh_time * mesh_freq
+    halo = ntaps - 1
+    s_rows = num_samp // nbins
+    f32 = 4
+    out = {op: 0 for op in _OPS}
+    if n == 1:
+        return out
+    # stacked-planes tail [2, nch, halo, nbins]; int8-native moves PACKED
+    # int32 words (4 bins per lane) — the 4x the mesh now preserves
+    tail = 2 * nch * halo * (nbins // 4 if int8_native else nbins) * f32
+    out["collective-permute"] = tail if ntaps > 1 else 0
+    if fused:
+        # psums: xp [2,1,nbl,nbins] + T [2,1,nch,nbins] + GJ(U) same
+        # + mu [2(re,im),1,nch] + the stream tail handoff
+        out["all-reduce"] = (2 * nbl * nbins * f32
+                             + 2 * 2 * nch * nbins * f32
+                             + 2 * nch * f32
+                             + tail)
+        # the fused kernel's X-stage never materializes frame-sharded
+        # spectra, so there is NO corner turn
+        out["all-to-all"] = 0
+    else:
+        # DC-removal mean over the sample-sharded block [2, nch]
+        # + pmean of the integrated product [2, nbl, nbins/F]
+        # + the stream-tail handoff psum
+        out["all-reduce"] = (2 * nch * f32
+                             + (2 * nbl * (nbins // mesh_freq) * f32
+                                if mesh_time > 1 else 0)
+                             + (tail if ntaps > 1 else 0))
+        if mesh_freq > 1:
+            # corner turn: each device's FULL local spectra block
+            # [2, nch, s_rows/n, nbins] — O(num_samp), the scaling wall
+            out["all-to-all"] = 2 * nch * (s_rows // n) * nbins * f32
+            # fftshift of the bin-sharded output: a halves swap across
+            # the freq axis [2, nbl, nbins/F] (SPECTRUM products only)
+            if not continuum:
+                out["collective-permute"] += (
+                    2 * nbl * (nbins // mesh_freq) * f32)
+    return out
