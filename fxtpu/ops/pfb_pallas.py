@@ -876,17 +876,19 @@ def _default_nbuf() -> int:
 
 def _trace_env() -> tuple:
     """Hashable snapshot of the trace-time kernel knobs: (nbuf, split_dma,
-    static_slot, fft_precision).  Passed as a STATIC argument of _fx_call
-    so its module-level jit cache splits on the env — without it, flipping
-    an env var and building a fresh engine would hit a stale executable
-    while fx._STEP_CACHE (keyed on the same env vars) pretends the change
-    took effect (r2 review finding)."""
+    static_slot, fft_precision, svd_tol).  Passed as a STATIC argument of
+    _fx_call so its module-level jit cache splits on the env — without it,
+    flipping an env var and building a fresh engine would hit a stale
+    executable while fx._STEP_CACHE (keyed on the same env vars) pretends
+    the change took effect (r2 review finding)."""
     import os as _os
     from fxtpu.ops import cfft
+    svd_tol = _os.environ.get("FXTPU_SVD_TOL", "")
     return (int(_os.environ.get("FXTPU_FUSED_NBUF", "0")) or _default_nbuf(),
             _os.environ.get("FXTPU_FUSED_SPLITDMA", "") == "1",
             _os.environ.get("FXTPU_FUSED_STATIC_SLOT", "") == "1",
-            cfft.precision_name())
+            cfft.precision_name(),
+            float(svd_tol) if svd_tol else None)
 
 
 @functools.partial(jax.jit,
@@ -948,9 +950,18 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
     dare = jnp.asarray(np.ascontiguousarray(da_np.real.astype(np.float32)))
     daim = jnp.asarray(np.ascontiguousarray(da_np.imag.astype(np.float32)))
 
+    # Trace-time kernel knobs: part of _fx_call's STATIC cache key (see
+    # _trace_env — a bare env read here would let the module-level jit
+    # cache serve a stale executable after an env flip, r2 review).
+    nbuf, split_dma, static_slot, prec, svd_tol = env_key or _trace_env()
+
     # Deep-tap FIR: rank factorization -> banded-matmul inputs (see the
     # SVD-FIR block comment).  w_key is the static window fingerprint.
-    tol = _SVD_TOL_INT8 if int8_in else _SVD_TOL
+    # FXTPU_SVD_TOL (trace-time, part of env_key) overrides the default
+    # tier: stage-1 conv cost is LINEAR in the retained rank, so e.g.
+    # 1e-5 (rank 6 instead of 8 at 32 taps, window error still 6x below
+    # the f32 pipeline's 3.1e-5 floor) is the wideband-f32 speed knob.
+    tol = svd_tol or (_SVD_TOL_INT8 if int8_in else _SVD_TOL)
     fac = (_svd_fir_factors(w_key, nbins, tol)
            if w_key is not None else None)
     g1 = _stage1_group(n1, tile)
@@ -975,10 +986,7 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
     # kernel's positional ref plumbing uniform
     hist_shape = (1, 1, 8, 128) if int8_in else (nch, 2, pad, nbins)
 
-    # Trace-time kernel knobs: part of _fx_call's STATIC cache key (see
-    # _trace_env — a bare env read here would let the module-level jit
-    # cache serve a stale executable after an env flip, r2 review).
-    nbuf, split_dma, static_slot, prec = env_key or _trace_env()
+    # (env knobs unpacked above, before the SVD routing)
     # The fused kernel honors the SAME precision knob as the XLA path
     # (ops/cfft.py): DEFAULT = 1-pass bf16 dots (conv + both FFT stages),
     # HIGH (default) = the manual 3-pass split-bf16 (2-pass where the

@@ -652,6 +652,48 @@ def test_fused_default_precision_loose_parity(monkeypatch, ntaps):
     assert diff > 1e-6, diff           # and the knob actually engaged
 
 
+def test_svd_tol_env_knob_rank_and_parity(monkeypatch):
+    """FXTPU_SVD_TOL tiers the deep-tap conv rank (cost is linear in
+    rank): 1e-5 must retain FEWER singular vectors than the 1e-7 default
+    on the wideband window, and the fused step must still match the
+    HIGH-precision unfused oracle within the pipeline's measured 3.1e-5
+    floor — the window perturbation at 1e-5 sits below it."""
+    from fxtpu.fx import _STEP_CACHE
+    from fxtpu.ops import pfb_pallas
+    from fxtpu.ops.pfb_pallas import _svd_fir_factors
+    from fxtpu.ops.window import pfb_window
+
+    w = pfb_window(32, 256, "hamming").reshape(32, 256)
+    w_key = tuple(w.astype(np.float64).ravel())
+    r_hi = _svd_fir_factors(w_key, 256)[0].shape[1]
+    r_lo = _svd_fir_factors(w_key, 256, tol=1e-5)[0].shape[1]
+    assert r_lo < r_hi  # the tier buys real conv work
+
+    monkeypatch.setenv("FXTPU_SVD_TOL", "1e-5")
+    _STEP_CACHE.clear()
+    pfb_pallas._fx_call.clear_cache()
+    try:
+        cfg = CorrelatorConfig(mode="SPECTRUM", num_samp=2**13, nbins=256,
+                               ntaps=32, clamp_num_samp=False)
+        rng = np.random.default_rng(11)
+        x = (rng.normal(size=(2, cfg.num_samp))
+             + 1j * rng.normal(size=(2, cfg.num_samp))).astype(np.complex64)
+        delays = jnp.asarray([0.0, 4e-7], jnp.float32)
+        eng_f = FxEngine(cfg, fused=True)
+        vf, _ = eng_f.step(eng_f.prepare_block(x), delays,
+                           eng_f.fresh_history())
+    finally:
+        _STEP_CACHE.clear()
+        pfb_pallas._fx_call.clear_cache()
+    monkeypatch.delenv("FXTPU_SVD_TOL", raising=False)
+    eng_u = FxEngine(cfg, fused=False)
+    vu, _ = eng_u.step(eng_u.prepare_block(x), delays,
+                       eng_u.fresh_history())
+    scale = np.abs(to_complex(vu)).max()
+    np.testing.assert_allclose(to_complex(vf), to_complex(vu),
+                               atol=5e-5 * scale)
+
+
 def test_fresh_engine_honors_precision_env_no_cache_clears(monkeypatch):
     """r2 review: flipping FXTPU_FFT_PRECISION and building a FRESH
     engine must actually change the numbers.  Previously the module-level
