@@ -20,11 +20,22 @@ import numpy as np
 from fxtpu.sources.base import Source
 
 
-def _load_one(path: str) -> np.ndarray:
+def _load_one(path: str, mmap: bool = True) -> np.ndarray:
+    """Open one recording, MEMORY-MAPPED by default: a bench-scale capture
+    is GBs (60 s of 2-ch complex64 at 2.4 MS/s is already 2.3 GB; GS/s
+    replays are far larger), and the feeder only ever touches one block
+    at a time — read_block's copy-out pulls pages through the OS cache
+    on demand instead of stalling startup on a full load.  Non-c64 .npy
+    recordings fall back to an in-memory convert (a mapped array can't
+    be reinterpreted in place)."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".npy":
-        arr = np.load(path)
+        arr = np.load(path, mmap_mode="r" if mmap else None)
+        if arr.dtype == np.complex64:
+            return arr
     elif ext in (".c64", ".bin", ".raw"):
+        if mmap:
+            return np.memmap(path, dtype=np.complex64, mode="r")
         arr = np.fromfile(path, dtype=np.complex64)
     else:
         raise ValueError(f"unsupported replay format: {path}")
@@ -41,13 +52,16 @@ class ReplaySource(Source):
 
     def __init__(self, paths: Union[str, Sequence[str]], nchan: Optional[int] = None,
                  sample_rate: float = 2.4e6, center_freq: float = 1.4204e9,
-                 gain: float = 49.6, loop: bool = False):
+                 gain: float = 49.6, loop: bool = False, mmap: bool = True):
         if isinstance(paths, str):
-            data = _load_one(paths)
+            data = _load_one(paths, mmap)
             if data.ndim == 1:
                 data = data[None, :]
         else:
-            chans = [_load_one(p) for p in paths]
+            # per-channel files: stacking would materialize the maps, so
+            # multi-file recordings load in memory (pass one .npy for the
+            # mapped path)
+            chans = [_load_one(p, mmap=False) for p in paths]
             n = min(len(c) for c in chans)
             data = np.stack([c[:n] for c in chans])
         if nchan is not None and data.shape[0] != nchan:
@@ -67,7 +81,14 @@ class ReplaySource(Source):
         Used by per-channel parallel feeders: each feeder thread owns an
         independent single-channel ReplaySource over the same recording,
         so channel reads run concurrently (numpy copies release the GIL)."""
-        self._data = self._data[list(channels)]
+        channels = list(channels)
+        if len(channels) == 1:
+            # basic slicing keeps a memory-mapped recording mapped; a
+            # fancy-index would materialize the whole channel
+            c = channels[0]
+            self._data = self._data[c: c + 1]
+        else:
+            self._data = self._data[channels]
         self.nchan = self._data.shape[0]
         return self
 

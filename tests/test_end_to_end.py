@@ -348,14 +348,18 @@ def test_integration_blocks_accumulation(tmp_path):
     assert data.shape[0] == 2
 
 
-def test_snapshot_resume_roundtrip(tmp_path):
+@pytest.mark.parametrize("ingest", ["complex64", "int8"])
+def test_snapshot_resume_roundtrip(tmp_path, ingest):
     """A resumed run continues the replay exactly where the snapshot was
-    taken: total written rows across both runs equals a single full run."""
+    taken: total written rows across both runs equals a single full run.
+    int8 ingest resumes identically — quantization is deterministic and
+    the int8-native history dict snapshots losslessly."""
     src = NoiseSource(nchan=2, seed=13)
     rec = save_recording(src, str(tmp_path / "rec.npy"), 2**14, 8)
 
     # full single run for the oracle
     cor_full = run_correlator(tmp_path, source="replay", replay_file=rec,
+                              ingest_dtype=ingest,
                               output_file=str(tmp_path / "full.csv"))
     _, full = load_products(cor_full.output_file)
     assert full.shape[0] == 7  # 8 blocks - 1 calibrate
@@ -365,7 +369,7 @@ def test_snapshot_resume_roundtrip(tmp_path):
     recA = str(tmp_path / "recA.npy")
     np.save(recA, np.load(rec)[:, : 5 * 2**14])
     corA = run_correlator(tmp_path, source="replay", replay_file=recA,
-                          snapshot_every=2,
+                          snapshot_every=2, ingest_dtype=ingest,
                           output_file=str(tmp_path / "a.csv"))
     assert corA.blocks_processed == 4
     snap = corA.snapshot_path
@@ -376,6 +380,7 @@ def test_snapshot_resume_roundtrip(tmp_path):
     # calibrate-on-start (delays come from the snapshot)
     corB = run_correlator(tmp_path, source="replay", replay_file=rec,
                           calibrate_on_start=False, resume_from=snap,
+                          ingest_dtype=ingest,
                           output_file=str(tmp_path / "b.csv"))
     _, b = load_products(str(tmp_path / "b.csv"))
     assert corB.blocks_processed == 7  # continued 4 -> 7

@@ -84,6 +84,29 @@ def test_replay_raw_c64(tmp_path):
     np.testing.assert_array_equal(blk[1], blk[0] * 2)
 
 
+def test_replay_is_memory_mapped(tmp_path):
+    """A .npy replay opens memory-mapped (bench-scale captures are GBs;
+    only the touched block pages ever load), reads identically to the
+    in-memory path, and splits/selects stay mapped (views, not
+    materializing fancy-indexes)."""
+    src = NoiseSource(nchan=2, seed=6)
+    path = save_recording(src, str(tmp_path / "rec.npy"), 256, 3)
+    rep = ReplaySource(path)
+    assert isinstance(rep._data, np.memmap)
+    mem = ReplaySource(path, mmap=False)
+    assert not isinstance(mem._data, np.memmap)
+    for _ in range(3):
+        np.testing.assert_array_equal(rep.read_block(256),
+                                      mem.read_block(256))
+    split = ReplaySource(path).split_channels()
+    assert all(isinstance(s._data.base, np.memmap) or
+               isinstance(s._data, np.memmap) for s in split)
+    sel = ReplaySource(path).select_channels([1])
+    assert isinstance(sel._data.base, np.memmap) or isinstance(
+        sel._data, np.memmap)
+    np.testing.assert_array_equal(sel.read_block(256), split[1].read_block(256))
+
+
 def test_fault_injection_short_and_fail():
     src = FaultInjectingSource(NoiseSource(nchan=2, seed=1), short_every=2)
     assert src.read_block(128).shape == (2, 128)
