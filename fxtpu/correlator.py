@@ -176,6 +176,10 @@ class Correlator:
         self.writer: Optional[products.VisibilityWriter] = None
         self.blocks_processed = 0
         self._blocks_consumed = 0  # incl. calibration blocks (resume seek)
+        self._consumed_seq = -1    # ring seq of the last PROCESSED block —
+        #                            the stream position snapshot() keys
+        #                            the source-state lookup on (counts
+        #                            diverge from seqs on drops)
 
         # --- TEST mode sweep (effex.py:144-155) ---------------------------
         self.test_delay_sweep_step = config.test_delay_sweep_step
@@ -480,6 +484,7 @@ class Correlator:
 
                 drain.got_block()
                 self._blocks_consumed += 1
+                self._consumed_seq = self.aligner.last_seq
                 self.metrics.count("samples_in",
                                    self.config.nchan * self.num_samp)
                 if self.state == "CALIBRATE":
@@ -724,6 +729,7 @@ class Correlator:
             return True
 
         self._blocks_consumed += batch.k
+        self._consumed_seq = batch.last_seq
         self.metrics.count("samples_in",
                            batch.k * self.config.nchan * self.num_samp)
         if self.state == "CALIBRATE":
@@ -807,11 +813,12 @@ class Correlator:
         # stream an uninterrupted one would (SURVEY §5.4) — the block-index
         # seek alone silently regenerates different noise for synthetic
         # sources.  The feeder reads AHEAD of the consumer, so the state
-        # must come from its per-block log at blocks_consumed, NOT the
-        # source's current (read-ahead) state; the direct source state is
-        # only correct before the feeder starts.
+        # must come from its per-block log — keyed by the last PROCESSED
+        # block's SEQ (+1), not the consumed count: seqs gap on drops, and
+        # the count would silently restore an earlier stream position.
+        # The direct source state is only correct before the feeder starts.
         if self.feeder is not None:
-            src_state = self.feeder.source_state_at(self._blocks_consumed)
+            src_state = self.feeder.source_state_at(self._consumed_seq + 1)
         else:
             src_state = self.source.snapshot_state()
         if src_state is not None:

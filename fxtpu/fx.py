@@ -202,15 +202,15 @@ def _deep_svd_applies(window2d, nbins: int, int8: bool = False) -> bool:
     taps/8192 bins on v5e); without it the direct tap loop loses.
 
     ``int8`` selects the int8-native kernel's looser factorization
-    tolerance (1e-5 — its accuracy floor is the quantization itself), so
-    'auto' matches exactly the tolerance _fx_call will factorize at: a
-    window full-rank at 1e-7 but factorizable at 1e-5 must still route
-    the int8 engine to the fused path."""
-    from fxtpu.ops.pfb_pallas import (_SVD_TOL, _SVD_TOL_INT8,
-                                      _svd_fir_factors)
+    tolerance (1e-5 — its accuracy floor is the quantization itself), and
+    ``svd_tol_active`` folds in any FXTPU_SVD_TOL override, so 'auto'
+    matches exactly the tolerance _fx_call will factorize at: a window
+    full-rank at one tier but factorizable at the active one must route
+    accordingly."""
+    from fxtpu.ops.pfb_pallas import _svd_fir_factors, svd_tol_active
     return _svd_fir_factors(
         tuple(np.asarray(window2d, np.float64).ravel()), nbins,
-        _SVD_TOL_INT8 if int8 else _SVD_TOL) is not None
+        svd_tol_active(int8)) is not None
 
 
 def make_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,

@@ -883,12 +883,28 @@ def _trace_env() -> tuple:
     the change took effect (r2 review finding)."""
     import os as _os
     from fxtpu.ops import cfft
-    svd_tol = _os.environ.get("FXTPU_SVD_TOL", "")
+    raw = _os.environ.get("FXTPU_SVD_TOL", "")
+    try:
+        svd = float(raw) if raw else None
+    except ValueError:
+        raise ValueError(
+            f"FXTPU_SVD_TOL={raw!r} is not a float (e.g. 1e-5; 0 keeps "
+            "full rank, routing deep taps to the direct tap loop)") from None
     return (int(_os.environ.get("FXTPU_FUSED_NBUF", "0")) or _default_nbuf(),
             _os.environ.get("FXTPU_FUSED_SPLITDMA", "") == "1",
             _os.environ.get("FXTPU_FUSED_STATIC_SLOT", "") == "1",
             cfft.precision_name(),
-            float(svd_tol) if svd_tol else None)
+            svd)
+
+
+def svd_tol_active(int8: bool) -> float:
+    """The SVD tolerance the kernel build will ACTUALLY factorize at —
+    the FXTPU_SVD_TOL override, else the dtype tier.  Routing decisions
+    (fx._deep_svd_applies / 'auto') must call this, not read the
+    defaults: an env override that changes whether the window
+    factorizes must change the route with it."""
+    env = _trace_env()[4]
+    return (_SVD_TOL_INT8 if int8 else _SVD_TOL) if env is None else env
 
 
 @functools.partial(jax.jit,
@@ -960,8 +976,10 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
     # FXTPU_SVD_TOL (trace-time, part of env_key) overrides the default
     # tier: stage-1 conv cost is LINEAR in the retained rank, so e.g.
     # 1e-5 (rank 6 instead of 8 at 32 taps, window error still 6x below
-    # the f32 pipeline's 3.1e-5 floor) is the wideband-f32 speed knob.
-    tol = svd_tol or (_SVD_TOL_INT8 if int8_in else _SVD_TOL)
+    # the f32 pipeline's 3.1e-5 floor) is the wideband-f32 speed knob;
+    # 0 keeps full rank (factorization declined -> direct tap loop).
+    tol = (_SVD_TOL_INT8 if int8_in else _SVD_TOL) if svd_tol is None \
+        else svd_tol
     fac = (_svd_fir_factors(w_key, nbins, tol)
            if w_key is not None else None)
     g1 = _stage1_group(n1, tile)

@@ -29,9 +29,15 @@ emits, not just stated.  The reference has no distributed execution at
 all (its transport is single-host multiprocessing queues,
 ``/root/reference/effex/effex.py:105-106``).
 
-Payload convention: bytes of each collective's RESULT array(s), i.e. the
-per-device payload a transfer handles — not wire bytes (which depend on
-ring vs tree implementation choices XLA makes per topology).
+Payload convention: bytes of each collective's RESULT array(s) — the
+per-device payload the transfer delivers (compiled HLO text carries
+shapes only on results; operands print as bare %names).  Async forms
+count once: `-done` lines never match (no '(' directly after the op
+token), and the `-start` result tuples of collective-permute/all-to-all
+— `(operand-alias, result, u32[] contexts...)` — are halved after
+dropping the scalar context tokens, per their documented HLO shape.
+Not wire bytes — those depend on ring-vs-tree choices XLA makes per
+topology.
 """
 
 from __future__ import annotations
@@ -48,10 +54,9 @@ _DTYPE_BYTES = {
 _OPS = ("all-reduce", "collective-permute", "all-to-all", "all-gather",
         "reduce-scatter")
 
-# `%name = f32[2,3]{1,0} all-reduce(...)` or tuple-result / async-start
-# forms: `%name = (f32[..], f32[..]) all-reduce-start(...)`
-_LINE_RE = re.compile(
-    r"=\s*(\([^)]*\)|\S+)\s+(" + "|".join(_OPS) + r")(-start)?\(")
+# the op token in instruction position, sync or async-start ('-done('
+# fails the trailing-paren match, so completions never double-count)
+_LINE_RE = re.compile(r"\s(" + "|".join(_OPS) + r")(-start)?\(")
 _SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
 
 
@@ -59,11 +64,12 @@ def _shape_bytes(text: str) -> int:
     total = 0
     for dt, dims in _SHAPE_RE.findall(text):
         if dt not in _DTYPE_BYTES:
-            continue  # layout annotations etc.
+            continue  # replica_groups=[..], layout annotations, etc.
+        if not dims:
+            continue  # u32[] context tokens on async ops, not payload
         n = 1
         for d in dims.split(","):
-            if d:
-                n *= int(d)
+            n *= int(d)
         total += n * _DTYPE_BYTES[dt]
     return total
 
@@ -75,16 +81,17 @@ def measured_volume(step, *example_args) -> Dict[str, int]:
     out = {op: 0 for op in _OPS}
     for line in hlo.splitlines():
         m = _LINE_RE.search(line)
-        if not m:
+        if not m or " = " not in line[: m.start() + 1]:
             continue
-        shapes, op = m.group(1), m.group(2)
-        if op == "all-to-all" and "-done" in line.split(op)[0]:
-            continue
-        # async pairs appear as op-start/op-done over the same payload —
-        # the -start carries it; plain -done lines don't match _LINE_RE
-        # (no '(' after op name in their operand position) except via
-        # result shape, so guard explicitly:
-        out[op] += _shape_bytes(shapes)
+        # the result shape(s): between ' = ' and the op token.  Dtype-
+        # prefixed brackets only — layout tiles T(8,128), replica_groups
+        # =[1,8] and u32[] context tokens all fail _shape_bytes's filter
+        seg = line[: m.start()].split(" = ", 1)[1]
+        nbytes = _shape_bytes(seg)
+        if m.group(2) and m.group(1) in ("collective-permute",
+                                         "all-to-all"):
+            nbytes //= 2  # async-start tuple = (operand alias, result, ..)
+        out[m.group(1)] += nbytes
     return out
 
 

@@ -280,6 +280,11 @@ class BlockAligner:
     def __init__(self, bufs: List[RingBuffer]):
         self.bufs = bufs
         self.realigned = 0
+        #: Sequence number of the block get() last returned.  Seqs can
+        #: have GAPS (ring drops, source-reported losses), so consumers
+        #: that need a stream position — Correlator.snapshot's source
+        #: state lookup — must use this, not their own consumed COUNT.
+        self.last_seq = -1
         # zero-copy alignment: native rings expose peek/release views, so
         # the aligned [nchan, num_samp] block is gathered in ONE copy per
         # channel (slot -> output row) instead of two (slot -> per-channel
@@ -300,6 +305,7 @@ class BlockAligner:
         while True:
             target = max(seq for seq, _ in items)
             if all(seq == target for seq, _ in items):
+                self.last_seq = target
                 return np.stack([blk for _, blk in items])
             # Some channel is behind: advance laggards to the target seq.
             self.realigned += 1
@@ -343,4 +349,5 @@ class BlockAligner:
         for c, (_seq, view) in enumerate(items):
             np.copyto(out[c], view)
             self.bufs[c].release()
+        self.last_seq = items[0][0]
         return out

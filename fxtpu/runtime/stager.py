@@ -42,12 +42,16 @@ class Batch:
     single-block ``prepare_block`` input.
     """
 
-    __slots__ = ("iq", "k", "stacked")
+    __slots__ = ("iq", "k", "stacked", "last_seq")
 
-    def __init__(self, iq, k: int, stacked: bool):
+    def __init__(self, iq, k: int, stacked: bool, last_seq: int = -1):
         self.iq = iq
         self.k = k
         self.stacked = stacked
+        #: Ring seq of this batch's LAST block — the consumer's stream
+        #: position after processing it (snapshot's source-state key;
+        #: seqs can have gaps, so the consumed COUNT is not a position)
+        self.last_seq = last_seq
 
 
 class DeviceStager:
@@ -110,11 +114,12 @@ class DeviceStager:
             return None
         return item
 
-    def _gather(self) -> List[np.ndarray]:
-        """Collect up to ``batch`` aligned blocks; short list at stream
-        end (StreamDrainTracker decides when a miss means done)."""
+    def _gather(self):
+        """Collect up to ``batch`` aligned (seq, block) pairs; short list
+        at stream end (StreamDrainTracker decides when a miss means
+        done)."""
         from fxtpu.runtime.feeder import StreamDrainTracker
-        blocks: List[np.ndarray] = []
+        blocks: List = []
         drain = StreamDrainTracker()
         while len(blocks) < self.batch and not self._stop.is_set():
             blk = self.aligner.get(timeout=0.05)
@@ -123,7 +128,7 @@ class DeviceStager:
                     break  # drained (or unpairable residual) and done
             else:
                 drain.got_block()
-                blocks.append(blk)
+                blocks.append((self.aligner.last_seq, blk))
         return blocks
 
     def _run(self):
@@ -141,16 +146,18 @@ class DeviceStager:
                     # entry point per batch.)  Fused engines' prepare_batch
                     # stacks channel-major — the kernel's merged layout, so
                     # the dispatch pays no device transpose.
-                    iq = self.prepare_batch(blocks)  # async H2D enqueue
-                    item = Batch(iq, self.batch, stacked=True)
+                    iq = self.prepare_batch(
+                        [b for _, b in blocks])  # async H2D enqueue
+                    item = Batch(iq, self.batch, stacked=True,
+                                 last_seq=blocks[-1][0])
                     self.staged_blocks += self.batch
                     self._put(item)
                 else:
                     # tail (or batch==1): single-block units so the main
                     # loop reuses the single-step executable
-                    for b in blocks:
+                    for seq, b in blocks:
                         self._put(Batch(self.prepare_block(b), 1,
-                                        stacked=False))
+                                        stacked=False, last_seq=seq))
                         self.staged_blocks += 1
         except Exception:
             logger.exception("stager thread failed")

@@ -160,11 +160,19 @@ class FaultInjectingSource(Source):
         self._count += 1
         if self._count == self.fail_at:
             raise RuntimeError(f"injected source failure at block {self._count}")
+        if self.drop_channel is not None and self.nchan > 1:
+            # a multi-channel read cannot represent a one-channel gap —
+            # the schedule only takes effect through split_channels()
+            # (per-channel feeders); reading unsplit would silently
+            # inject NOTHING, vacuously passing whatever test used it
+            raise RuntimeError(
+                "drop_channel requires per-channel feeders: this source "
+                "must be consumed via split_channels() (Correlator default"
+                " channel_feeders=True with a splittable inner source)")
         block = self.inner.read_block(num_samp)
         if block is None:
             return None
-        if (self.drop_every and self.drop_channel is None
-                and self._count % self.drop_every == 0):
+        if self.drop_every and self._count % self.drop_every == 0:
             block = self.inner.read_block(num_samp)  # skip one (a drop)
             self._dropped += 1
         if self.short_every and self._count % self.short_every == 0 and block is not None:
@@ -182,18 +190,36 @@ class FaultInjectingSource(Source):
     def split_channels(self):
         """Split the wrapped source; the drop schedule rides ONLY
         ``drop_channel``'s split (every split when drop_channel is None),
-        so one channel's feeder sees stream gaps its siblings don't."""
+        so one channel's feeder sees stream gaps its siblings don't.
+        EVERY split keeps the FaultInjectingSource wrapper — snapshots
+        taken from any per-channel feeder then carry the same state
+        schema this (parent) source restores."""
         inners = self.inner.split_channels()
         if inners is None:
             return None
-        return [
-            FaultInjectingSource(s, drop_every=self.drop_every,
-                                 short_every=self.short_every,
-                                 fail_at=self.fail_at)
-            if self.drop_channel is None or c == self.drop_channel else s
+        outs = [
+            FaultInjectingSource(
+                s,
+                drop_every=(self.drop_every
+                            if self.drop_channel in (None, c) else 0),
+                short_every=self.short_every, fail_at=self.fail_at)
             for c, s in enumerate(inners)]
+        for w in outs:
+            # a resumed (restore_state'd) parent splits mid-schedule
+            w._count = self._count
+            if self.drop_channel is not None:
+                w._divergent = True  # see snapshot_state
+        return outs
+
+    #: True on splits of a drop_channel source: the channels' stream
+    #: positions diverge, so no single cursor can reproduce the run.
+    _divergent = False
 
     def snapshot_state(self):
+        if self.drop_channel is not None or self._divergent:
+            # resume must refuse (no stream state in the snapshot) rather
+            # than restore one channel's cursor over diverged siblings
+            return None
         inner = self.inner.snapshot_state()
         if inner is None:
             return None

@@ -258,6 +258,17 @@ def test_single_channel_drop_realigns_end_to_end(tmp_path):
     ph = np.angle(np.atleast_2d(data).mean(axis=0))
     inner = slice(2**10 // 4, 3 * 2**10 // 4)
     assert np.std(np.unwrap(ph[inner])) < 0.35
+    # single-channel drops DIVERGE the channels' stream positions: a
+    # snapshot of this run must refuse to resume (no one cursor can
+    # reproduce both channels) instead of realigning wrongly
+    snap = cor.snapshot(str(tmp_path / "div.state.npz"))
+    cfg2 = CorrelatorConfig(num_samp=2**14, nbins=2**10, run_time=60,
+                            clamp_num_samp=False, loglevel="WARNING",
+                            calibrate_on_start=False, resume_from=snap,
+                            output_file=str(tmp_path / "r.csv"))
+    with pytest.raises(ValueError, match="cannot resume"):
+        Correlator(config=cfg2, source=FaultInjectingSource(
+            ReplaySource(rec), drop_every=3, drop_channel=1))
 
 
 def test_cli_end_to_end(tmp_path):
@@ -463,6 +474,48 @@ def test_snapshot_resume_synthetic_source(tmp_path):
                resume_from=corA.snapshot_path)
     assert corB.blocks_processed == 7
     assert np.allclose(corB.calibrated_delays, corA.calibrated_delays)
+    _, b = load_products(str(tmp_path / "b.csv"))
+    np.testing.assert_allclose(np.atleast_2d(b), full[4:], rtol=2e-4,
+                               atol=1e-9)
+
+
+def test_snapshot_resume_with_aligned_drops(tmp_path):
+    """Source-reported drops open GAPS in the ring seqs, so the consumed
+    COUNT is no longer a stream position: the snapshot must key its
+    source-state lookup on the last processed block's SEQ (r3 review
+    finding — the count-keyed lookup silently restored an earlier
+    position and re-correlated already-processed samples)."""
+    from fxtpu.sources import FaultInjectingSource
+
+    src = NoiseSource(nchan=2, seed=41)
+    rec = save_recording(src, str(tmp_path / "rec.npy"), 2**14, 10)
+
+    def run(replay, output, **kw):
+        cfg = CorrelatorConfig(num_samp=2**14, nbins=2**10, run_time=60,
+                               clamp_num_samp=False, loglevel="WARNING",
+                               output_file=str(tmp_path / output), **kw)
+        cor = Correlator(config=cfg, source=FaultInjectingSource(
+            ReplaySource(replay), drop_every=3))
+        cor.run_state_machine()
+        return cor
+
+    # oracle: uninterrupted faulted run — drops at reads 3/6 lose blocks
+    # 3 and 7; 8 blocks survive = 1 cal + 7 rows
+    cor_full = run(rec, "full.csv")
+    _, full = load_products(cor_full.output_file)
+    assert full.shape[0] == 7
+
+    # run A: only the first 6 recorded blocks available
+    recA = str(tmp_path / "recA.npy")
+    np.save(recA, np.load(rec)[:, : 6 * 2**14])
+    corA = run(recA, "a.csv", snapshot_every=2)
+    assert corA.blocks_processed == 4  # kept seqs 0,1,3,4,5
+
+    # run B: fresh faulted source + restore -> continues the SCHEDULE
+    # (count) and the STREAM (cursor) exactly where A's snapshot was
+    corB = run(rec, "b.csv", calibrate_on_start=False,
+               resume_from=corA.snapshot_path)
+    assert corB.blocks_processed == 7
     _, b = load_products(str(tmp_path / "b.csv"))
     np.testing.assert_allclose(np.atleast_2d(b), full[4:], rtol=2e-4,
                                atol=1e-9)

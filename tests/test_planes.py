@@ -694,6 +694,25 @@ def test_svd_tol_env_knob_rank_and_parity(monkeypatch):
                                atol=5e-5 * scale)
 
 
+def test_svd_tol_env_routing_and_errors(monkeypatch):
+    """The 'auto' fused-routing check factorizes at the SAME tolerance
+    the kernel build will (r3 review: the env override changed the
+    kernel tier but not the route).  FXTPU_SVD_TOL=0 keeps full rank —
+    routing declines the deep-tap fused path; a malformed value fails
+    with a named error, not a bare float() traceback."""
+    from fxtpu.fx import _deep_svd_applies
+    from fxtpu.ops.pfb_pallas import _trace_env
+    from fxtpu.ops.window import pfb_window
+
+    w = pfb_window(32, 256, "hamming").reshape(32, 256)
+    assert _deep_svd_applies(w, 256)
+    monkeypatch.setenv("FXTPU_SVD_TOL", "0")
+    assert not _deep_svd_applies(w, 256)  # full rank -> no fused deep-tap
+    monkeypatch.setenv("FXTPU_SVD_TOL", "1e-5x")
+    with pytest.raises(ValueError, match="FXTPU_SVD_TOL"):
+        _trace_env()
+
+
 def test_fresh_engine_honors_precision_env_no_cache_clears(monkeypatch):
     """r2 review: flipping FXTPU_FFT_PRECISION and building a FRESH
     engine must actually change the numbers.  Previously the module-level
