@@ -44,17 +44,21 @@ def _wait_for_backend(max_wait: float | None = None) -> str | None:
     deadline = time.monotonic() + max_wait
     delay, last_err = 15.0, "no probe ran"
     while True:
+        # a DOWN tunnel HANGS the probe rather than erroring — cap each
+        # probe to the remaining budget (floor 30 s) so the structured
+        # error line always prints before any outer driver timeout
+        probe_cap = max(30.0, min(120.0, deadline - time.monotonic()))
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
                  "import jax; d = jax.devices()[0]; print(d.platform)"],
-                capture_output=True, text=True, timeout=300)
+                capture_output=True, text=True, timeout=probe_cap)
             if r.returncode == 0:
                 return None
             last_err = (r.stderr or r.stdout).strip().splitlines()[-1:]
             last_err = last_err[0] if last_err else "probe failed"
         except subprocess.TimeoutExpired:
-            last_err = "backend probe timed out after 300s"
+            last_err = f"backend probe timed out after {probe_cap:.0f}s"
         if time.monotonic() >= deadline:
             return last_err
         time.sleep(min(delay, max(0.0, deadline - time.monotonic())))
