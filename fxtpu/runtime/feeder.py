@@ -61,13 +61,15 @@ class Feeder:
         self.blocks_fed = 0
         # Per-block source stream-state log for checkpoint/resume: the
         # feeder reads AHEAD of the consumer (rings hold unprocessed
-        # blocks), so the source's *current* state at snapshot time can be
-        # several blocks past `blocks_consumed`.  _state_log[k] is the
-        # stream state after exactly k reads — the consumer snapshots the
-        # entry at its own consumed count and a resumed run regenerates
-        # the first UNCONSUMED block, not the first un-read one.  Disabled
-        # for span mode (random-access reads) and for sources that return
-        # None (live radios cannot reproduce their stream).
+        # blocks), so the source's *current* state at snapshot time can
+        # be several blocks past what the consumer processed.
+        # _state_log[s+1] is the stream state after the read that
+        # produced ring seq s (log[0] = the initial state) — the consumer
+        # snapshots the entry at its last PROCESSED seq + 1 and a resumed
+        # run regenerates the first unprocessed block.  Keyed by SEQ, not
+        # read count: source-reported drops (take_dropped) gap the seqs.
+        # Disabled for span mode (random-access reads) and for sources
+        # that return None (live radios cannot reproduce their stream).
         self._state_log: dict = {}
         self._state_lock = threading.Lock()
         #: True once _run selected the reserve/commit producer loop —
@@ -105,24 +107,25 @@ class Feeder:
 
     _STATE_LOG_DEPTH = 1024  # >> any ring capacity; entries are tiny dicts
 
-    def _log_source_state(self, blocks_read: int):
-        """Record the source's stream state after ``blocks_read`` reads."""
+    def _log_source_state(self, key: int):
+        """Record the source's current stream state at seq boundary
+        ``key`` (see ``_state_log``'s keying note in __init__)."""
         if self.sample_span is not None:
             return
         state = self.source.snapshot_state()
         if state is None:
             return
         with self._state_lock:
-            self._state_log[blocks_read] = state
+            self._state_log[key] = state
             if len(self._state_log) > self._STATE_LOG_DEPTH:
                 self._state_log.pop(min(self._state_log))
 
-    def source_state_at(self, blocks_consumed: int) -> Optional[dict]:
-        """Stream state after exactly ``blocks_consumed`` source reads (for
+    def source_state_at(self, seq_boundary: int) -> Optional[dict]:
+        """Stream state at ``seq_boundary`` = last processed seq + 1 (for
         Correlator.snapshot), or None when unknown — span mode, a live
         source, or an entry older than the log window."""
         with self._state_lock:
-            return self._state_log.get(blocks_consumed)
+            return self._state_log.get(seq_boundary)
 
     def _run(self):
         try:
