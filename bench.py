@@ -388,7 +388,14 @@ def main(argv=None):
                    choices=["complex64", "int8"],
                    help="pipeline ingest dtype (int8 = 8-bit quantized)")
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--cpu", action="store_true",
+                   help="run on CPU (functional smoke of every config "
+                        "path — numbers are NOT hardware statements)")
     args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     if args.host_pipeline:
         res = bench_host_pipeline(ingest=args.ingest,
@@ -417,7 +424,7 @@ def main(argv=None):
     else:
         metric = f"{args.config}_pfb_fft_x_aggregate_throughput"
 
-    err = _wait_for_backend()
+    err = None if args.cpu else _wait_for_backend()
     if err is not None:
         _emit_error(metric, f"backend_unavailable: {err}")
         return

@@ -629,12 +629,17 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         for c in range(nch):
             if int8_in and _abl == "dma0":
-                # raw packed-DMA floor: touch the slab words, skip the unpack
+                # raw packed-DMA floor: touch the slab words, skip the
+                # unpack.  Lane-level zero-pad (packed words are nbins/4
+                # lanes) keeps the spec shape for ANY n1, including the
+                # small test shapes where n1 < 4
                 q = slab[buf, 0, c][:tile].astype(jnp.float32)
-                qr = q.reshape(tile, n1 // 4, n2)
-                z = jnp.zeros((tile, n1 - n1 // 4, n2), jnp.float32)
-                spec.append((jnp.concatenate([qr, z], axis=1),
-                             jnp.concatenate([z, qr], axis=1)))
+                nb = n1 * n2  # nbins; packed words carry nbins/4 lanes
+                flat = q.reshape(tile, nb // 4)
+                z = jnp.zeros((tile, nb - nb // 4), jnp.float32)
+                spec.append((
+                    jnp.concatenate([flat, z], 1).reshape(tile, n1, n2),
+                    jnp.concatenate([z, flat], 1).reshape(tile, n1, n2)))
                 continue
             if int8_in:
                 # packed int32 words (4 bins each): one unpack per plane.

@@ -694,6 +694,35 @@ def test_svd_tol_env_knob_rank_and_parity(monkeypatch):
                                atol=5e-5 * scale)
 
 
+@pytest.mark.parametrize("stage,int8", [("dma", False), ("fir", False),
+                                        ("fft1", False), ("dma0", True),
+                                        ("dma", True), ("fir", True),
+                                        ("fft1", True)])
+def test_fused_ablate_stages_build_and_run(monkeypatch, stage, int8):
+    """FXTPU_FUSED_ABLATE truncates the kernel after a stage for on-chip
+    time attribution (outputs wrong BY DESIGN — this only asserts every
+    stage knob still BUILDS and runs, so a hardware ablation battery
+    can't die on a stale debug path)."""
+    from fxtpu.fx import _STEP_CACHE
+    from fxtpu.ops import pfb_pallas
+
+    monkeypatch.setenv("FXTPU_FUSED_ABLATE", stage)
+    _STEP_CACHE.clear()
+    pfb_pallas._fx_call.clear_cache()
+    try:
+        kw = dict(ingest_dtype="int8") if int8 else {}
+        ntaps = 32 if int8 else 4  # dma0/int8 exercises the SVD slab path
+        cfg = CorrelatorConfig(mode="SPECTRUM", num_samp=2**13, nbins=256,
+                               ntaps=ntaps, clamp_num_samp=False, **kw)
+        eng = FxEngine(cfg, fused=True)
+        iq, delays, hist = eng.example_inputs(seed=2)
+        vis, _ = eng.step(iq, delays, hist)
+        assert np.all(np.isfinite(to_complex(vis)))
+    finally:
+        _STEP_CACHE.clear()
+        pfb_pallas._fx_call.clear_cache()
+
+
 def test_svd_tol_env_routing_and_errors(monkeypatch):
     """The 'auto' fused-routing check factorizes at the SAME tolerance
     the kernel build will (r3 review: the env override changed the
