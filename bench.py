@@ -26,22 +26,26 @@ REFERENCE_AGGREGATE_SAMPLES_PER_S = 4.8e6  # BASELINE.md implied real-time rate
 
 
 def _wait_for_backend(max_wait: float | None = None) -> str | None:
-    """Block until the accelerator backend initializes, bounded retry.
+    """Block until a NON-CPU accelerator backend initializes, bounded retry.
 
     The remote-device tunnel flaps (r2's driver capture failed with
     ``Unable to initialize backend 'axon': UNAVAILABLE`` and lost the
     round's number).  JAX caches backend-init FAILURES process-wide, so
     each probe runs in a fresh subprocess; only after a probe succeeds
-    do we init in-process.  Returns None on success, else the last
-    probe error string after ``max_wait`` seconds
-    (env ``FXTPU_BENCH_BACKEND_WAIT``, default 900).
+    do we init in-process.  A probe that lands on CPU (sitecustomize
+    absent or changed) counts as FAILURE — a silent CPU number under the
+    hardware metric name would be indistinguishable from a TPU one
+    (--cpu is the explicit opt-in).  Returns None on success, else
+    "backend unavailable after <total>s; last probe: <err>" after
+    ``max_wait`` seconds (env ``FXTPU_BENCH_BACKEND_WAIT``, default 900).
     """
     import subprocess
     import sys
 
     if max_wait is None:
         max_wait = float(os.environ.get("FXTPU_BENCH_BACKEND_WAIT", "900"))
-    deadline = time.monotonic() + max_wait
+    start = time.monotonic()
+    deadline = start + max_wait
     delay, last_err = 15.0, "no probe ran"
     while True:
         # a DOWN tunnel HANGS the probe rather than erroring — cap each
@@ -54,13 +58,20 @@ def _wait_for_backend(max_wait: float | None = None) -> str | None:
                  "import jax; d = jax.devices()[0]; print(d.platform)"],
                 capture_output=True, text=True, timeout=probe_cap)
             if r.returncode == 0:
-                return None
-            last_err = (r.stderr or r.stdout).strip().splitlines()[-1:]
-            last_err = last_err[0] if last_err else "probe failed"
+                platform = r.stdout.strip().splitlines()[-1]
+                if platform != "cpu":
+                    return None
+                last_err = ("jax initialized CPU, not an accelerator "
+                            "(pass --cpu for an explicit CPU run)")
+            else:
+                last_err = (r.stderr or r.stdout).strip().splitlines()[-1:]
+                last_err = last_err[0] if last_err else "probe failed"
         except subprocess.TimeoutExpired:
-            last_err = f"backend probe timed out after {probe_cap:.0f}s"
+            last_err = f"probe timed out ({probe_cap:.0f}s cap)"
         if time.monotonic() >= deadline:
-            return last_err
+            total = time.monotonic() - start
+            return (f"backend unavailable after {total:.0f}s; "
+                    f"last probe: {last_err}")
         time.sleep(min(delay, max(0.0, deadline - time.monotonic())))
         delay = min(delay * 2, 120.0)
 
@@ -85,17 +96,25 @@ _CHIP_PEAKS = {
 }
 
 
+#: MXU passes per f32 matmul by FXTPU_FFT_PRECISION: 'default' is a single
+#: bf16 dot, 'high' a manual 3-pass bf16 split (the fused kernel's default
+#: and cap), 'highest' routes to the XLA path's 6-pass dots.
+_PRECISION_PASSES = {"default": 1, "high": 3, "highest": 6}
+
+
 def roofline(samples_per_s: float, *, nbins: int, ntaps: int, nchan: int,
              n_baselines: int, device_kind: str,
-             bytes_per_sample: float = 8.0):
+             bytes_per_sample: float = 8.0, precision: str | None = None):
     """Flops/bytes model of the fused FX step -> measured MFU + HBM use.
 
     Model (per aggregate sample, from the kernel structure in
     ops/pfb_pallas.py — each channel's sample passes once through FIR,
     2-stage split-bf16 FFT, and the X-accumulate):
 
-      * MXU (bf16): both FFT stages are 3-pass bf16-split matmuls
-        contracting n1 then n2 -> 24*(n1+n2) flops/sample.
+      * MXU (bf16): both FFT stages are P-pass bf16 matmuls contracting
+        n1 then n2 -> 8*P*(n1+n2) flops/sample, where P is set by the
+        FXTPU_FFT_PRECISION actually traced (r3 VERDICT weak #3: the
+        old hardwired 3-pass model overstated 1-pass MFU 3x).
       * VPU (f32): FIR 4*ntaps, twiddle ~6, X-stage 8*nbl/nch,
         DC/means ~4.
       * HBM: the input is read once — ``bytes_per_sample`` is 8 for f32
@@ -103,14 +122,20 @@ def roofline(samples_per_s: float, *, nbins: int, ntaps: int, nchan: int,
         outputs are O(nbl*nbins) per block — negligible.
 
     MFU is quoted against the chip's dense bf16 peak (MXU flops only —
-    the VPU terms are unavoidable non-matmul work, reported separately).
+    the VPU terms are unavoidable non-matmul work, reported separately)
+    and labeled with the precision mode it was modeled at.
     """
+    if precision is None:
+        from fxtpu.ops.cfft import precision_name
+        precision = precision_name()
+    passes = _PRECISION_PASSES.get(precision, 3)
     n1, n2 = nbins // 128, 128
-    mxu_per_sample = 24.0 * (n1 + n2)
+    mxu_per_sample = 8.0 * passes * (n1 + n2)
     vpu_per_sample = 4.0 * ntaps + 6.0 + 8.0 * n_baselines / nchan + 4.0
     peak = next((v for k, v in _CHIP_PEAKS.items()
                  if k in device_kind.lower()), None)
     out = {
+        "precision": precision,
         "model_mxu_flops_per_sample": mxu_per_sample,
         "model_vpu_flops_per_sample": vpu_per_sample,
         "mxu_tflops": round(samples_per_s * mxu_per_sample / 1e12, 2),
