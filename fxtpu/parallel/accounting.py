@@ -88,9 +88,21 @@ def measured_volume(step, *example_args) -> Dict[str, int]:
         # =[1,8] and u32[] context tokens all fail _shape_bytes's filter
         seg = line[: m.start()].split(" = ", 1)[1]
         nbytes = _shape_bytes(seg)
-        if m.group(2) and m.group(1) in ("collective-permute",
-                                         "all-to-all"):
-            nbytes //= 2  # async-start tuple = (operand alias, result, ..)
+        if m.group(2):
+            if m.group(1) in ("collective-permute", "all-to-all"):
+                # async-start tuple = (operand alias, result, ..) with
+                # operand size == result size for these two ops — halve
+                nbytes //= 2
+            else:
+                # all-gather/reduce-scatter/all-reduce -start tuples mix
+                # DIFFERENT operand and result sizes; halving would be
+                # silently wrong, so fail loudly if XLA ever emits them
+                # for these programs (r3 advisor finding)
+                raise NotImplementedError(
+                    f"async {m.group(1)}-start in compiled HLO: the "
+                    "operand/result tuple sizes differ for this op — "
+                    "extend measured_volume to subtract the operand "
+                    "alias instead of halving")
         out[m.group(1)] += nbytes
     return out
 

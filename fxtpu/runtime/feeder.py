@@ -105,7 +105,18 @@ class Feeder:
     def alive(self) -> bool:
         return self._thread is not None and self._thread.is_alive()
 
-    _STATE_LOG_DEPTH = 1024  # >> any ring capacity; entries are tiny dicts
+    _STATE_LOG_FLOOR = 1024  # entries are tiny dicts
+
+    @property
+    def _state_log_depth(self) -> int:
+        """Log window, sized from the ACTUAL ring capacity: the feeder
+        reads at most ``capacity`` blocks ahead of the consumer, so 2x
+        that (floor 1024) guarantees the consumer's last-processed seq
+        boundary is never evicted — ``buffer_chunks`` is user-
+        configurable, so a fixed constant could silently lose stream
+        state on huge rings (r3 advisor finding)."""
+        cap = max((b.capacity for b in self.bufs), default=0)
+        return max(self._STATE_LOG_FLOOR, 2 * cap)
 
     def _log_source_state(self, key: int):
         """Record the source's current stream state at seq boundary
@@ -117,7 +128,7 @@ class Feeder:
             return
         with self._state_lock:
             self._state_log[key] = state
-            if len(self._state_log) > self._STATE_LOG_DEPTH:
+            if len(self._state_log) > self._state_log_depth:
                 self._state_log.pop(min(self._state_log))
 
     def source_state_at(self, seq_boundary: int) -> Optional[dict]:

@@ -172,6 +172,18 @@ class LimitedSource(Source):
     def restore_state(self, state: dict) -> None:
         self.inner.restore_state(state)
 
+    def split_channels(self):
+        """Per-channel limited splits: feeders advance their channels in
+        lockstep, so giving each split this source's REMAINING budget is
+        equivalent to one shared countdown."""
+        inners = self.inner.split_channels()
+        if inners is None:
+            return None
+        outs = [LimitedSource(s, self.limit) for s in inners]
+        for o in outs:
+            o._read = self._read
+        return outs
+
     def stop(self):
         super().stop()
         self.inner.stop()

@@ -33,7 +33,6 @@ def test_observe_example(tmp_path):
     assert np.atleast_2d(data).shape[1] == 1024
 
 
-@pytest.mark.timeout(600)
 def test_multihost_example(tmp_path):
     from fxtpu.sources import NoiseSource, save_recording
     rec = save_recording(NoiseSource(nchan=2, seed=5),

