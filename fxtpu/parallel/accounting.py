@@ -154,3 +154,106 @@ def predicted_volume(*, nch: int, nbl: int, nbins: int, num_samp: int,
                 out["collective-permute"] += (
                     2 * nbl * (nbins // mesh_freq) * f32)
     return out
+
+
+def predicted_volume_blockdp(*, nch: int, nbins: int, ntaps: int,
+                             n_shards: int,
+                             int8_native: bool = False) -> Dict[str, int]:
+    """Analytic per-DISPATCH collective payload (bytes) of the block-DP
+    fused multi step (`parallel/sharded._make_fused_sharded_multi`): one
+    boundary-history ppermute (each shard's last-block corrected tail —
+    plus the previous-block mean for int8-native's dict history) and one
+    masked psum that replicates the last shard's carried history.  Per
+    BLOCK, divide by K — the whole point: collective bytes amortize
+    K-fold vs the frame-sharded per-block step."""
+    halo = ntaps - 1
+    f32 = 4
+    out = {op: 0 for op in _OPS}
+    if n_shards == 1:
+        return out
+    # Cplx tail = 2 planes; packed int32 words carry 4 bins per lane
+    tail = 2 * nch * halo * (nbins // 4 if int8_native else nbins) * f32
+    mu = 2 * nch * f32 if int8_native else 0  # dict history carries mu_prev
+    out["collective-permute"] = tail + mu if ntaps > 1 else mu
+    out["all-reduce"] = tail + mu if ntaps > 1 else mu
+    return out
+
+
+#: Nominal ONE-DIRECTION, PER-LINK ICI bandwidth (bytes/s) by device
+#: generation — the denominator of the collective-time model.  NOMINAL
+#: published-order figures (v5e 2D torus, 4 links/chip at ~45 GB/s/dir
+#: ~= the quoted 1.6 Tb/s aggregate; v5p 3D torus, 6 links at ~90 ~= 4.8
+#: Tb/s; v4 ~2.4 Tb/s): like bench._CHIP_PEAKS these are
+#: denominators-in-waiting, not measurements — no multi-chip hardware
+#: has ever been attached to this rig.
+ICI_LINK_BW = {"v5e": 45e9, "v5p": 90e9, "v4": 50e9}
+
+
+def predicted_collective_time(volumes: Dict[str, int], n_shards: int,
+                              link_bw: float) -> float:
+    """Seconds to move one step's collective payload over a 1D ring of
+    ``n_shards`` devices with per-direction link bandwidth ``link_bw``.
+
+    Standard ring-algorithm costs on the linearized mesh axis (our
+    collectives all ride one lax axis): a permute crosses each link
+    once (bytes/BW); a ring all-reduce moves 2(n-1)/n of its payload
+    per device; all-to-all and all-gather/reduce-scatter (n-1)/n.
+    No-overlap model — compute/collective overlap only helps, so the
+    efficiency this predicts is a LOWER bound given the volumes."""
+    if n_shards <= 1:
+        return 0.0
+    ring = (n_shards - 1) / n_shards
+    t = volumes.get("collective-permute", 0) / link_bw
+    t += 2 * ring * volumes.get("all-reduce", 0) / link_bw
+    t += ring * volumes.get("all-to-all", 0) / link_bw
+    t += ring * (volumes.get("all-gather", 0)
+                 + volumes.get("reduce-scatter", 0)) / link_bw
+    return t
+
+
+def predicted_scaling_efficiency(*, samples_per_s_single: float, nch: int,
+                                 nbl: int, nbins: int, num_samp: int,
+                                 ntaps: int, n_shards: int, chip: str = "v5e",
+                                 path: str = "fused",
+                                 mesh_freq: int = 1,
+                                 int8_native: bool = False,
+                                 continuum: bool = False,
+                                 blocks_per_dispatch: int = 1) -> dict:
+    """The §7a byte accounting turned into a time prediction (r3 VERDICT
+    next #7): given the MEASURED single-chip rate, predict the n-shard
+    scaling efficiency at nominal ICI link rates.
+
+      eff = t_comp/n / (t_comp/n + t_coll)
+
+    ``path``: 'fused' / 'xla' (frame-sharded per-block step, mesh_time =
+    n) / 'blockdp' (the K-block multi dispatch; collective bytes
+    amortize over ``blocks_per_dispatch``).  Returns the per-block
+    compute/collective times and the efficiency — the quantitative form
+    of the "≥85% expected" claim, replacing the functional-only CPU
+    artifact as its published evidence."""
+    t_comp = nch * num_samp / samples_per_s_single
+    if path == "blockdp":
+        vols = predicted_volume_blockdp(nch=nch, nbins=nbins, ntaps=ntaps,
+                                        n_shards=n_shards,
+                                        int8_native=int8_native)
+        t_coll = predicted_collective_time(
+            vols, n_shards, ICI_LINK_BW[chip]) / max(blocks_per_dispatch, 1)
+    else:
+        vols = predicted_volume(nch=nch, nbl=nbl, nbins=nbins,
+                                num_samp=num_samp, ntaps=ntaps,
+                                mesh_time=n_shards // mesh_freq,
+                                mesh_freq=mesh_freq,
+                                fused=path == "fused",
+                                int8_native=int8_native,
+                                continuum=continuum)
+        t_coll = predicted_collective_time(vols, n_shards,
+                                           ICI_LINK_BW[chip])
+    t_shard = t_comp / n_shards
+    return {
+        "per_block_compute_s": t_shard,
+        "per_block_collective_s": t_coll,
+        "volumes": vols,
+        "efficiency": t_shard / (t_shard + t_coll) if t_coll else 1.0,
+        "aggregate_samples_per_s":
+            nch * num_samp / (t_shard + t_coll),
+    }

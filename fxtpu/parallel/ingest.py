@@ -35,7 +35,10 @@ def put_block(block: np.ndarray, mesh: Optional[jax.sharding.Mesh],
 
     ``block``: ``[nch, num_samp]`` complex64, or 8-bit quantized planes
     ``[nch, num_samp, 2]`` int8 (shipped as int8 — 4x fewer H2D bytes —
-    and dequantized on-device by the step, see fx._dequant).
+    and dequantized on-device by the step, see fx._dequant).  A LEADING
+    K axis (a stacked multi-dispatch batch, ``[K, nch, ...]``) keeps the
+    sample axis sharded — the layout the scanned sharded multi_step
+    slices per block.
 
     Single-host fast path: device_put with the mesh sharding (XLA scatters
     the buffer).  Under a multi-process runtime, ``block`` is this
@@ -52,10 +55,15 @@ def put_block(block: np.ndarray, mesh: Optional[jax.sharding.Mesh],
         im = np.ascontiguousarray(block.imag, dtype=np.float32)
     if mesh is None:
         return Cplx(jax.device_put(re), jax.device_put(im))
-    sharding = block_sharding(mesh)
+    if re.ndim == 3:  # stacked batch [K, nch, num_samp]
+        sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, None,
+                                             (TIME_AXIS, FREQ_AXIS)))
+    else:
+        sharding = block_sharding(mesh)
     if jax.process_count() == 1:
         return Cplx(jax.device_put(re, sharding), jax.device_put(im, sharding))
-    gshape = (re.shape[0], global_num_samp or re.shape[1])
+    gshape = (*re.shape[:-1], global_num_samp or re.shape[-1])
     mk = jax.make_array_from_process_local_data
     return Cplx(mk(sharding, re, gshape), mk(sharding, im, gshape))
 

@@ -244,6 +244,196 @@ def _make_fused_sharded_step(*, mode: str, nbins: int, w2d, pairs,
     return step
 
 
+def _make_fused_sharded_multi(*, mode: str, nbins: int, w2d, pairs,
+                              bandwidth: float, frequency: float,
+                              mesh: jax.sharding.Mesh, num_samp: int,
+                              ntaps: int, quant_step: float,
+                              int8_native: bool):
+    """K-blocks-per-dispatch sharded step, BLOCK-data-parallel: the K axis
+    is sharded over the linearized (time, freq) mesh and every shard runs
+    the single-device fused multi-block kernel (fx_pallas_raw_multi) on
+    its K/n whole, stream-contiguous blocks.
+
+    Why this beats frame-sharding the blocks: each block's X-stage is
+    entirely local to one shard, so the per-block psums (xp/T/U/mu —
+    0.56 MB/block at the flagship shape, design.md §7a) VANISH.  Per
+    dispatch the only collectives are one halo ppermute of each shard's
+    boundary tail + mean (the kernel history contract precomputed from
+    the RAW input, so no shard waits on its neighbor's kernel) and the
+    psum that replicates the last shard's carried history — O(nch*halo*
+    nbins) per K blocks instead of per block.  This is also what lets
+    mesh runs amortize the ~1.4 ms/dispatch tunnel latency K-fold, the
+    wall single-device K-batching removed (design.md §3; r3 VERDICT
+    missing #2).
+
+    Requires K divisible by the shard count (FxEngine.dispatch_batch_for
+    rounds the configured batch down to a multiple).  History contract
+    and outputs match K sequential sharded single steps (asserted in
+    tests/test_sharded.py)."""
+    from fxtpu.fx import _finish_fused
+    from fxtpu.ops.pfb_pallas import _unpack_i8, fx_pallas_raw_multi
+
+    t_sz = mesh.shape[TIME_AXIS]
+    f_sz = mesh.shape[FREQ_AXIS]
+    n_shards = t_sz * f_sz
+    s_rows = num_samp // nbins
+    halo = ntaps - 1
+    pairs_np = np.asarray(pairs)
+    continuum = mode in ("CONTINUUM", "TEST")
+    w2dj = jnp.asarray(w2d, jnp.float32)
+    multihost = jax.process_count() > 1
+
+    def boundary_history(iq: Cplx):
+        """The history my RIGHT neighbor's first block needs, computed
+        from my raw input alone: the last local block's (corrected) tail
+        and mean — exactly what the kernel would return after that block,
+        so no shard waits on another's kernel."""
+        if int8_native:
+            tail = Cplx(iq.re[:, -1, -halo:], iq.im[:, -1, -halo:])
+            lastf = Cplx(_unpack_i8(iq.re[:, -1], jnp.float32),
+                         _unpack_i8(iq.im[:, -1], jnp.float32))
+            mu = Cplx(
+                jnp.mean(lastf.re, axis=(-2, -1)) * quant_step,
+                jnp.mean(lastf.im, axis=(-2, -1)) * quant_step)
+            return {"tail": tail, "mu_prev": mu}
+        mu_re = jnp.mean(iq.re[:, -1], axis=(-2, -1))
+        mu_im = jnp.mean(iq.im[:, -1], axis=(-2, -1))
+        return Cplx(iq.re[:, -1, -halo:] - mu_re[:, None, None],
+                    iq.im[:, -1, -halo:] - mu_im[:, None, None])
+
+    def local_multi(iq: Cplx, delays, history):
+        # iq: [nch, K_loc, S, lanes] merged planes (this shard's WHOLE
+        # blocks); delays [K_loc, nch(, 2)]; history = the dispatch-
+        # carried stream history (replicated; shard 0 consumes it)
+        if n_shards > 1:
+            idx = lax.axis_index(AXES)
+            bound = boundary_history(iq)
+            perm = [(i, i + 1) for i in range(n_shards - 1)]
+            recv = jax.tree.map(lambda a: lax.ppermute(a, AXES, perm),
+                                bound)
+            prev = jax.tree.map(
+                lambda h, r: jnp.where(idx == 0, h.astype(r.dtype), r),
+                history, recv)
+        else:
+            idx = 0
+            prev = history
+        xp, my_hist = fx_pallas_raw_multi(iq, w2dj, nbins, prev, pairs_np,
+                                          quant_step=quant_step,
+                                          merged=True)
+        vis = _finish_fused(xp, delays, pairs_np, nbins, s_rows,
+                            bandwidth, frequency, continuum)
+        # the dispatch's carried history = the LAST shard's kernel output
+        if n_shards > 1:
+            new_hist = jax.tree.map(
+                lambda a: lax.psum(
+                    jnp.where(idx == n_shards - 1, a, jnp.zeros_like(a)),
+                    AXES),
+                my_hist)
+        else:
+            new_hist = my_hist
+        return vis, new_hist
+
+    sharded_multi = jax.shard_map(
+        local_multi, mesh=mesh,
+        in_specs=(P(None, AXES), P(AXES), P()),
+        out_specs=(P(AXES), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def multi(iq: Cplx, delays, history):
+        from fxtpu.fx import _dequant
+        k = iq.re.shape[1]
+        if k % n_shards != 0:
+            raise ValueError(
+                f"sharded multi_step needs K % {n_shards} == 0, got K={k} "
+                "(FxEngine.dispatch_batch_for rounds the batch down)")
+        if not int8_native:
+            iq = _dequant(iq, quant_step)
+        iq = jax.tree.map(
+            lambda a: lax.with_sharding_constraint(
+                a, NamedSharding(mesh, P(None, AXES, None, None))), iq)
+        vis, new_hist = sharded_multi(iq, jnp.asarray(delays), history)
+        if multihost:
+            vis, new_hist = _replicate_out(mesh, (vis, new_hist))
+        return vis, new_hist
+
+    multi.fused_kernel = True
+    multi.int8_native = int8_native
+    multi.merged_input = True  # FxEngine.prepare_batch stages merged
+    return multi
+
+
+def make_sharded_fx_multi_step(*, mode: str, nbins: int,
+                               window2d: np.ndarray, pairs: np.ndarray,
+                               bandwidth: float, frequency: float,
+                               mesh: jax.sharding.Mesh, num_samp: int,
+                               impl: str = "planes", fused="auto",
+                               quant_step: float = 1.0 / 32,
+                               int8_ingest: bool = False):
+    """K-blocks-per-dispatch sharded step (r3 VERDICT missing #2: mesh
+    runs previously paid the ~1.4 ms dispatch latency per block).
+
+        multi(iq, delays [K, nch(,2)], history) -> (vis [K, ...], new_hist)
+
+    Fused engines get the block-data-parallel kernel dispatch
+    (:func:`_make_fused_sharded_multi`; iq is the MERGED ``[nch, K, S,
+    lanes]`` layout from FxEngine.prepare_batch, K-sharded).  The XLA
+    path wraps the per-block sharded step in a ``lax.scan`` (iq stacked
+    ``[K, nch, num_samp]``): same executables, the K-fold dispatch
+    amortization, no layout change.  History formats match the per-block
+    sharded step's, so full batches and remainder single steps mix freely
+    in one run (the Correlator does exactly that)."""
+    if impl != "planes":
+        raise ValueError("sharded multi_step: planes impl only")
+    ntaps = int(window2d.shape[0])
+    validate_shapes(num_samp, nbins, mesh, ntaps)
+    s_rows = num_samp // nbins
+    nch = int(np.asarray(pairs).max()) + 1
+
+    # the history format MUST match the per-block sharded step's (full
+    # batches and remainder single steps share one carried history), so
+    # the multi path follows the step's fused decision
+    step = make_sharded_fx_step(
+        mode=mode, nbins=nbins, window2d=window2d, pairs=pairs,
+        bandwidth=bandwidth, frequency=frequency, mesh=mesh,
+        num_samp=num_samp, impl=impl, fused=fused,
+        quant_step=quant_step, int8_ingest=int8_ingest)
+    step_fused = bool(getattr(step, "fused_kernel", False))
+
+    if step_fused:
+        from fxtpu.fx import _deep_svd_applies, _resolve_fused
+        # block-DP shards see WHOLE blocks (full s_rows), unlike the
+        # frame-sharded per-block step (s_rows/n): re-check support at
+        # this path's actual shape (a superset in practice — the tile
+        # divides s_rows whenever it divides s_rows/n)
+        if not _resolve_fused(
+                fused, nbins, ntaps, s_rows, nch,
+                deep_svd=_deep_svd_applies(window2d, nbins,
+                                           int8=int8_ingest)):
+            return None  # no batched dispatch for this shape
+        return _make_fused_sharded_multi(
+            mode=mode, nbins=nbins, w2d=window2d, pairs=pairs,
+            bandwidth=bandwidth, frequency=frequency, mesh=mesh,
+            num_samp=num_samp, ntaps=ntaps, quant_step=quant_step,
+            int8_native=int8_ingest)
+
+    @jax.jit
+    def multi(iq, delays, history):
+        def body(hist, xs):
+            blk, d = xs
+            vis, hist = step(blk, d, hist)
+            return hist, vis
+
+        new_hist, vis = jax.lax.scan(body, history,
+                                     (iq, jnp.asarray(delays)))
+        return vis, new_hist
+
+    multi.fused_kernel = False
+    multi.merged_input = False
+    return multi
+
+
 def make_sharded_fx_step(*, mode: str, nbins: int, window2d: np.ndarray,
                          pairs: np.ndarray, bandwidth: float, frequency: float,
                          mesh: jax.sharding.Mesh, num_samp: int,

@@ -194,3 +194,98 @@ def test_int8_sharded_matches_f32_mesh_within_quant():
     vf, _ = engf.step(engf.prepare_block(cplx), delays, engf.fresh_history())
     scale = np.abs(as_c(vf)).max()
     np.testing.assert_allclose(as_c(v8), as_c(vf), atol=3e-5 * scale)
+
+
+def _k_blocks(cfg, k, seed=13, int8=False):
+    rng = np.random.default_rng(seed)
+    if int8:
+        return [rng.integers(-127, 128, size=(cfg.nchan, cfg.num_samp, 2)
+                             ).astype(np.int8) for _ in range(k)]
+    return [(rng.normal(size=(cfg.nchan, cfg.num_samp))
+             + 1j * rng.normal(size=(cfg.nchan, cfg.num_samp))
+             ).astype(np.complex64) for _ in range(k)]
+
+
+@pytest.mark.parametrize("mode", ["SPECTRUM", "CONTINUUM"])
+def test_sharded_multi_step_fused_f32(mode):
+    """Sharded K-block dispatch (block-DP: K sharded over the mesh, each
+    shard runs the single-device fused multi-block kernel on whole
+    blocks, boundary history ppermuted) == K sequential sharded single
+    steps (r3 VERDICT missing #2)."""
+    cfg = _cfg(mode=mode)
+    mesh = make_correlator_mesh(4, 2)
+    eng = FxEngine(cfg, mesh=mesh, fused=True)
+    assert eng.batch_merged
+    k = eng.dispatch_batch_for(16)
+    assert k == 16  # divisible by the 8 shards
+    blocks = _k_blocks(cfg, k)
+    delays = jnp.zeros((k, cfg.nchan), jnp.float32).at[:, 1].set(2e-7)
+
+    vis_m, hist_m = eng.multi_step(eng.prepare_batch(blocks), delays,
+                                   eng.fresh_history())
+    hist = eng.fresh_history()
+    scale = None
+    for i, b in enumerate(blocks):
+        v, hist = eng.step(eng.prepare_block(b), delays[i], hist)
+        scale = scale or np.abs(as_c(v)).max()
+        np.testing.assert_allclose(as_c(vis_m)[i], as_c(v),
+                                   atol=3e-5 * scale)
+    np.testing.assert_allclose(as_c(hist_m), as_c(hist), atol=1e-5)
+
+
+def test_sharded_multi_step_int8_native():
+    cfg = _cfg(mode="SPECTRUM", ingest_dtype="int8")
+    mesh = make_correlator_mesh(2, 4)
+    eng = FxEngine(cfg, mesh=mesh, fused=True)
+    assert eng.batch_merged and eng.int8_native
+    k = 8
+    blocks = _k_blocks(cfg, k, int8=True)
+    delays = jnp.zeros((k, cfg.nchan), jnp.float32).at[:, 1].set(1e-7)
+    vis_m, hist_m = eng.multi_step(eng.prepare_batch(blocks), delays,
+                                   eng.fresh_history())
+    hist = eng.fresh_history()
+    scale = None
+    for i, b in enumerate(blocks):
+        v, hist = eng.step(eng.prepare_block(b), delays[i], hist)
+        scale = scale or np.abs(as_c(v)).max()
+        np.testing.assert_allclose(as_c(vis_m)[i], as_c(v),
+                                   atol=3e-5 * scale)
+    # raw packed tails are INTEGERS: exact
+    np.testing.assert_array_equal(np.asarray(hist_m["tail"].re),
+                                  np.asarray(hist["tail"].re))
+    np.testing.assert_allclose(as_c(hist_m["mu_prev"]),
+                               as_c(hist["mu_prev"]), rtol=1e-5, atol=1e-8)
+
+
+def test_sharded_multi_step_xla_scan():
+    """The XLA (non-fused) mesh path batches via lax.scan of the
+    per-block sharded step — any K, stacked layout."""
+    cfg = _cfg(mode="SPECTRUM")
+    mesh = make_correlator_mesh(4, 2)
+    eng = FxEngine(cfg, mesh=mesh, fused=False)
+    assert not eng.batch_merged
+    k = eng.dispatch_batch_for(5)
+    assert k == 5  # scan path takes any K
+    blocks = _k_blocks(cfg, k, seed=21)
+    delays = jnp.zeros((k, cfg.nchan), jnp.float32).at[:, 1].set(3e-7)
+    vis_m, hist_m = eng.multi_step(eng.prepare_batch(blocks), delays,
+                                   eng.fresh_history())
+    hist = eng.fresh_history()
+    for i, b in enumerate(blocks):
+        v, hist = eng.step(eng.prepare_block(b), delays[i], hist)
+        np.testing.assert_allclose(as_c(vis_m)[i], as_c(v),
+                                   rtol=5e-5, atol=1e-7)
+    np.testing.assert_allclose(as_c(hist_m), as_c(hist),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_dispatch_batch_for_rounds_to_shard_multiple():
+    cfg = _cfg()
+    mesh = make_correlator_mesh(4, 2)
+    eng = FxEngine(cfg, mesh=mesh, fused=True)
+    assert eng.dispatch_batch_for(21) == 16   # rounds down to 8k
+    assert eng.dispatch_batch_for(8) == 8
+    assert eng.dispatch_batch_for(7) == 1     # < one block per shard
+    assert eng.dispatch_batch_for(1) == 1
+    eng1 = FxEngine(cfg)
+    assert eng1.dispatch_batch_for(21) == 21  # single device: any K
