@@ -56,7 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--ntaps", default=4, type=int,
                         help="PFB taps per branch.")
     parser.add_argument("--replay_file", default=None, type=str,
-                        help="Recorded IQ file(s) for --source replay.")
+                        help="Recorded IQ file(s) for --source replay: "
+                             ".npy/.c64 complex recordings, or NATIVE "
+                             "rtl_sdr captures (raw interleaved u8 I,Q; "
+                             ".iq/.u8/.iq8/.rtl, comma-separated one "
+                             "file per channel — replayed 8-bit "
+                             "end-to-end under --ingest int8).")
     parser.add_argument("--seed", default=77777, type=int,
                         help="Synthetic-source RNG seed.")
     parser.add_argument("--true_delay", default=0.0, type=float,

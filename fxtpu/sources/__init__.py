@@ -9,7 +9,8 @@ from fxtpu.sources.synthetic import (
     complex_sinusoid,
     fractional_delay,
 )
-from fxtpu.sources.replay import ReplaySource, save_recording
+from fxtpu.sources.replay import (RTL_U8_EXTS, ReplaySource,
+                                  RtlU8ReplaySource, save_recording)
 
 
 def make_source(cfg, delays=None):
@@ -25,7 +26,18 @@ def make_source(cfg, delays=None):
     if cfg.source == "replay":
         if not cfg.replay_file:
             raise ValueError("replay source requires replay_file")
-        return _maybe_quantize(ReplaySource(cfg.replay_file, **common), cfg)
+        paths = (cfg.replay_file.split(",") if "," in cfg.replay_file
+                 else cfg.replay_file)
+        first = paths[0] if isinstance(paths, list) else paths
+        if first.lower().endswith(RTL_U8_EXTS):
+            # native rtl_sdr capture (raw interleaved u8 I,Q): already
+            # 8-bit — emits int8 blocks directly under int8 ingest (no
+            # QuantizedSource, no float detour), dequantizes host-side
+            # for complex64 runs
+            return RtlU8ReplaySource(
+                paths, as_complex=cfg.ingest_dtype != "int8",
+                quant_step=cfg.quant_step, **common)
+        return _maybe_quantize(ReplaySource(paths, **common), cfg)
     if cfg.source == "rtlsdr":
         from fxtpu.sources.rtlsdr import RtlSdrSource
         return _maybe_quantize(RtlSdrSource(**common), cfg)
@@ -42,6 +54,6 @@ def _maybe_quantize(src, cfg):
 __all__ = [
     "Source", "NoiseSource", "SinusoidSource", "FaultInjectingSource",
     "LimitedSource", "QuantizedSource",
-    "ReplaySource", "save_recording", "make_source",
+    "ReplaySource", "RtlU8ReplaySource", "save_recording", "make_source",
     "complex_noise", "complex_sinusoid", "fractional_delay",
 ]

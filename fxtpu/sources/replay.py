@@ -164,6 +164,123 @@ class ReplaySource(Source):
         return np.ascontiguousarray(block)
 
 
+#: Extensions recognized as raw rtl_sdr captures (interleaved u8 I,Q)
+RTL_U8_EXTS = (".u8", ".iq8", ".rtl", ".iq")
+
+
+class RtlU8ReplaySource(Source):
+    """Replay of NATIVE rtl_sdr captures: raw interleaved unsigned-8-bit
+    I,Q pairs, one channel per file — the byte stream ``rtl_sdr out.iq``
+    writes (the tool dumps the tuner's 8-bit ADC words unmodified).
+
+    The samples are re-biased u8 → int8 (``x ^ 0x80`` == x − 128, the
+    RTL2832's 127.5-centered convention — the QuantizedSource docstring's
+    point at ``sources/base.py:190-195``) and emitted as ``[nch,
+    num_samp, 2]`` int8 blocks, the int8-ingest form: a native capture
+    replays straight into the int8 rings and the packed-word kernel with
+    NO float detour anywhere (the reference converts u8 → complex128 at
+    the USB boundary, quadrupling every byte before transport —
+    ``/root/reference/effex/effex.py`` via pyrtlsdr).  With
+    ``as_complex=True`` (a complex64-ingest run) blocks are dequantized
+    on the host at ``quant_step`` instead.
+
+    Files stay memory-mapped (captures are GBs); reads copy one block
+    through the OS page cache like :class:`ReplaySource`.
+    """
+
+    def __init__(self, paths: Union[str, Sequence[str]],
+                 nchan: Optional[int] = None, sample_rate: float = 2.4e6,
+                 center_freq: float = 1.4204e9, gain: float = 49.6,
+                 loop: bool = False, as_complex: bool = False,
+                 quant_step: float = 1.0 / 32, mmap: bool = True):
+        if isinstance(paths, str):
+            paths = [paths]
+        maps = []
+        for p in paths:
+            m = (np.memmap(p, dtype=np.uint8, mode="r") if mmap
+                 else np.fromfile(p, dtype=np.uint8))
+            if m.size % 2:
+                m = m[: m.size - 1]  # trailing odd byte: truncated pair
+            maps.append(m.reshape(-1, 2))
+        n = min(m.shape[0] for m in maps)
+        #: per-channel u8 views [nsamp, 2]; kept as a LIST so each stays
+        #: an independent map (stacking would materialize them)
+        self._chans = [m[:n] for m in maps]
+        if nchan is not None and len(self._chans) != nchan:
+            raise ValueError(
+                f"capture has {len(self._chans)} channels, expected {nchan}")
+        super().__init__(len(self._chans), sample_rate, center_freq, gain)
+        self._pos = 0
+        self.loop = loop
+        self.as_complex = as_complex
+        self.quant_step = float(quant_step)
+
+    @property
+    def total_samples(self) -> int:
+        return self._chans[0].shape[0]
+
+    def _advance(self, num_samp: int) -> Optional[int]:
+        n = self.total_samples
+        if self._pos + num_samp > n:
+            if not self.loop:
+                return None
+            self._pos = 0
+            if num_samp > n:
+                raise ValueError("block longer than capture")
+        pos = self._pos
+        self._pos += num_samp
+        return pos
+
+    def read_block(self, num_samp: int) -> Optional[np.ndarray]:
+        pos = self._advance(num_samp)
+        if pos is None:
+            return None
+        out = np.empty((self.nchan, num_samp, 2), np.int8)
+        for c, ch in enumerate(self._chans):
+            # u8 ^ 0x80 == u8 - 128 reinterpreted as int8: one SIMD pass
+            np.bitwise_xor(ch[pos: pos + num_samp], 0x80,
+                           out=out[c].view(np.uint8))
+        if not self.as_complex:
+            return out
+        f = out.astype(np.float32) * self.quant_step
+        return (f[..., 0] + 1j * f[..., 1]).astype(np.complex64)
+
+    def read_block_into(self, out: np.ndarray, num_samp: int) -> bool:
+        """Zero-copy-producer read (int8 form only): re-bias the next
+        block straight into ``out`` (an int8 ``[num_samp, 2]`` ring-slot
+        view) — one pass, no staging array."""
+        if self.nchan != 1:
+            raise ValueError("read_block_into requires a 1-channel source")
+        if self.as_complex:
+            raise ValueError("read_block_into is the int8-ingest path")
+        pos = self._advance(num_samp)
+        if pos is None:
+            return False
+        np.bitwise_xor(self._chans[0][pos: pos + num_samp], 0x80,
+                       out=out.view(np.uint8))
+        return True
+
+    def split_channels(self) -> list:
+        outs = []
+        for ch in self._chans:
+            s = RtlU8ReplaySource.__new__(RtlU8ReplaySource)
+            Source.__init__(s, 1, self.sample_rate, self.center_freq,
+                            self.gain)
+            s._chans = [ch]
+            s._pos = self._pos
+            s.loop = self.loop
+            s.as_complex = self.as_complex
+            s.quant_step = self.quant_step
+            outs.append(s)
+        return outs
+
+    def snapshot_state(self) -> dict:
+        return {"pos": self._pos}
+
+    def restore_state(self, state: dict) -> None:
+        self._pos = int(state["pos"])
+
+
 def save_recording(source: Source, path: str, num_samp: int, nblocks: int):
     """Capture ``nblocks`` aligned blocks from any source into a replayable
     ``.npy`` file."""

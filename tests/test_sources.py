@@ -224,3 +224,80 @@ def test_fault_split_fail_at_fires_once():
     assert [s.fail_at for s in splits] == [-1, -1, 2]
     assert [s.short_every for s in splits] == [0, 0, 2]
     assert [s.drop_every for s in splits] == [0, 0, 2]
+
+
+def _write_u8_capture(tmp_path, int8_blocks):
+    """int8 [nch, n, 2] -> per-channel raw u8 interleaved files (the
+    rtl_sdr byte stream: int8 + 128)."""
+    arr = np.concatenate(int8_blocks, axis=1)
+    paths = []
+    for c in range(arr.shape[0]):
+        u8 = (arr[c].astype(np.int16) + 128).astype(np.uint8)
+        p = str(tmp_path / f"cap{c}.iq")
+        u8.tofile(p)
+        paths.append(p)
+    return paths
+
+
+def test_rtl_u8_replay_roundtrip(tmp_path):
+    """Native rtl_sdr capture round trip: quantized int8 blocks written
+    as raw u8 files replay BIT-EXACTLY through RtlU8ReplaySource (the
+    u8 ^ 0x80 re-bias is exact), and the complex form equals the int8
+    dequantization (r3 VERDICT next #8)."""
+    from fxtpu.sources.base import QuantizedSource
+    from fxtpu.sources.replay import RtlU8ReplaySource
+    q = QuantizedSource(NoiseSource(nchan=2, seed=44, delays=[0, 1e-6]))
+    blocks = [q.read_block(2048) for _ in range(3)]
+    paths = _write_u8_capture(tmp_path, blocks)
+
+    src = RtlU8ReplaySource(paths)
+    assert src.nchan == 2 and src.total_samples == 3 * 2048
+    for want in blocks:
+        got = src.read_block(2048)
+        assert got.dtype == np.int8
+        np.testing.assert_array_equal(got, want)
+    assert src.read_block(2048) is None  # exhausted, not looping
+
+    csrc = RtlU8ReplaySource(paths, as_complex=True, quant_step=q.quant_step)
+    got = csrc.read_block(2048)
+    want = (blocks[0][..., 0].astype(np.float32)
+            + 1j * blocks[0][..., 1].astype(np.float32)) * q.quant_step
+    np.testing.assert_array_equal(got, want.astype(np.complex64))
+
+
+def test_rtl_u8_replay_splits_and_resumes(tmp_path):
+    from fxtpu.sources.base import QuantizedSource
+    from fxtpu.sources.replay import RtlU8ReplaySource
+    q = QuantizedSource(NoiseSource(nchan=2, seed=45))
+    blocks = [q.read_block(1024) for _ in range(4)]
+    paths = _write_u8_capture(tmp_path, blocks)
+    src = RtlU8ReplaySource(paths)
+    src.read_block(1024)
+    splits = src.split_channels()
+    for c, s in enumerate(splits):
+        np.testing.assert_array_equal(s.read_block(1024)[0], blocks[1][c])
+        # zero-copy producer form
+        out = np.empty((1024, 2), np.int8)
+        assert s.read_block_into(out, 1024)
+        np.testing.assert_array_equal(out, blocks[2][c])
+    # snapshot/restore onto a fresh parent
+    state = splits[0].snapshot_state()
+    fresh = RtlU8ReplaySource(paths)
+    fresh.restore_state(state)
+    np.testing.assert_array_equal(fresh.read_block(1024), blocks[3])
+
+
+def test_make_source_routes_u8_extension(tmp_path):
+    from fxtpu.sources.base import QuantizedSource
+    from fxtpu.sources.replay import RtlU8ReplaySource
+    q = QuantizedSource(NoiseSource(nchan=2, seed=46))
+    paths = _write_u8_capture(tmp_path, [q.read_block(1024)])
+    cfg = CorrelatorConfig(source="replay",
+                           replay_file=",".join(paths),
+                           ingest_dtype="int8", nchan=2)
+    src = make_source(cfg)
+    assert isinstance(src, RtlU8ReplaySource) and not src.as_complex
+    cfgc = CorrelatorConfig(source="replay", replay_file=",".join(paths),
+                            nchan=2)
+    srcc = make_source(cfgc)
+    assert isinstance(srcc, RtlU8ReplaySource) and srcc.as_complex
