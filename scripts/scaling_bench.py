@@ -76,6 +76,65 @@ def measure(n_dev: int, mesh_freq: int, block_pow: int, nbins: int,
     return 2 * num_samp * iters / dt
 
 
+def measure_multi(n_dev: int, block_pow: int, nbins: int, iters: int,
+                  k: int, fused) -> dict:
+    """Per-dispatch-overhead amortization A/B on one mesh: K blocks as K
+    sequential sharded dispatches vs ONE sharded multi_step dispatch
+    (r3 VERDICT missing #2 done criterion).  Same math both ways —
+    results asserted equal in tests/test_sharded.py; this measures the
+    dispatch wall only."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fxtpu.config import CorrelatorConfig
+    from fxtpu.fx import FxEngine
+    from fxtpu.parallel import make_correlator_mesh
+
+    num_samp = 2 ** block_pow
+    mesh = make_correlator_mesh(n_dev, 1, devices=jax.devices()[:n_dev])
+    cfg = CorrelatorConfig(mode="SPECTRUM", nchan=2, num_samp=num_samp,
+                           nbins=nbins, clamp_num_samp=False)
+    eng = FxEngine(cfg, mesh=mesh, fused=fused)
+    k = eng.dispatch_batch_for(k)
+    rng = np.random.default_rng(0)
+    blocks = [(rng.normal(size=(2, num_samp)).astype(np.float32)
+               + 1j * rng.normal(size=(2, num_samp)).astype(np.float32))
+              for _ in range(k)]
+    iq1 = [eng.prepare_block(b) for b in blocks]
+    iqk = eng.prepare_batch(blocks)
+    d1 = jnp.zeros((2,), jnp.float32)
+    dk = jnp.zeros((k, 2), jnp.float32)
+
+    def sync(v):
+        return float(jnp.sum(jax.tree.leaves(v)[0]))
+
+    def run_single():
+        h = eng.fresh_history()
+        for b in iq1:
+            v, h = eng.step(b, d1, h)
+        return v
+
+    def run_multi():
+        v, _ = eng.multi_step(iqk, dk, eng.fresh_history())
+        return v
+
+    out = {"devices": n_dev, "k": k,
+           "path": "block-DP" if getattr(eng.multi_step, "merged_input",
+                                         False) else "scan"}
+    for name, fn in (("single", run_single), ("multi", run_multi)):
+        sync(fn())  # compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            v = fn()
+        sync(v)
+        dt = time.perf_counter() - t0
+        out[f"{name}_samples_per_s"] = round(2 * num_samp * k * iters / dt, 1)
+    out["multi_speedup"] = round(
+        out["multi_samples_per_s"] / out["single_samples_per_s"], 3)
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--devices", type=int, nargs="+", default=None,
@@ -88,6 +147,12 @@ def main():
     p.add_argument("--cpu", type=int, default=0, metavar="N",
                    help="run on an N-device virtual CPU mesh (functional "
                         "validation; the 1-chip tunnel cannot sweep)")
+    p.add_argument("--multi", type=int, default=0, metavar="K",
+                   help="instead of the scaling sweep, A/B K-block multi "
+                        "dispatch vs K single dispatches on each mesh "
+                        "size (per-dispatch overhead amortization)")
+    p.add_argument("--fused", default="auto",
+                   help="fused knob for --multi (auto|true|false)")
     args = p.parse_args()
 
     if args.cpu:
@@ -108,6 +173,21 @@ def main():
         print(f"# NOTE: {n} {platform} device(s) — functional-scaling "
               "validation only, not a hardware performance statement",
               file=sys.stderr)
+
+    if args.multi:
+        fused = {"auto": "auto", "true": True, "false": False}[
+            str(args.fused).lower()]
+        rows = []
+        for c in counts:
+            if c < 2:
+                continue
+            row = measure_multi(c, args.block_pow, args.nbins, args.iters,
+                                args.multi, fused)
+            rows.append(row)
+            print(json.dumps(row))
+        print(json.dumps({"metric": "sharded_multi_dispatch_amortization",
+                          "platform": platform, "rows": rows}))
+        return
 
     base = None
     rows = []
