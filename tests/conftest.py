@@ -17,6 +17,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# The zero-copy ingest tests assert the NATIVE ring is the production
+# path; on a fresh checkout/machine libfxring.so doesn't exist yet and
+# the transparent Python fallback would fail those asserts.  Build it
+# here (2 s) rather than skip — the point is to exercise the real path.
+import pathlib  # noqa: E402
+import subprocess  # noqa: E402
+
+_native = pathlib.Path(__file__).resolve().parent.parent / "native"
+if (_native / "Makefile").exists() and not (_native / "libfxring.so").exists():
+    subprocess.run(["make", "-C", str(_native)], check=False,
+                   capture_output=True)
+
 import matplotlib  # noqa: E402
 
 matplotlib.use("Agg")
