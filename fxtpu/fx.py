@@ -201,12 +201,10 @@ def _deep_svd_applies(window2d, nbins: int, int8: bool = False) -> bool:
     widths (f32 7.65 vs 7.29, int8-native 12.97 vs 7.3 GS/s at 32
     taps/8192 bins on v5e); without it the direct tap loop loses.
 
-    ``int8`` selects the int8-native kernel's looser factorization
-    tolerance (1e-5 — its accuracy floor is the quantization itself), and
-    ``svd_tol_active`` folds in any FXTPU_SVD_TOL override, so 'auto'
-    matches exactly the tolerance _fx_call will factorize at: a window
-    full-rank at one tier but factorizable at the active one must route
-    accordingly."""
+    ``svd_tol_active`` folds in any FXTPU_SVD_TOL override (both ingest
+    widths share the 1e-5 default since r4), so 'auto' matches exactly
+    the tolerance _fx_call will factorize at: a window full-rank at one
+    tier but factorizable at the active one must route accordingly."""
     from fxtpu.ops.pfb_pallas import _svd_fir_factors, svd_tol_active
     return _svd_fir_factors(
         tuple(np.asarray(window2d, np.float64).ravel()), nbins,

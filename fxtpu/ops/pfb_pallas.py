@@ -320,9 +320,14 @@ def _split_bf16(x):
 #: 10.27 vs 10.39 at 4096 bins (a wash) — 16 is the right cutover.
 SVD_FIR_MIN_TAPS = 16
 
-#: Keep singular vectors down to this relative magnitude — 1e-7 sits two
-#: decades below the pipeline's measured 3.1e-5 precision floor.
-_SVD_TOL = 1e-7
+#: Keep singular vectors down to this relative magnitude.  1e-5 keeps
+#: rank 6 at 32 taps/8192 bins with the window perturbation ~6x UNDER
+#: the pipeline's measured 3.1e-5 precision floor (HIGH mode), i.e.
+#: invisible end to end — and the conv cost is linear in rank.  The r4
+#: TPU A/B made it the default: wideband f32 9.29 -> 11.10 GS/s
+#: (FXTPU_SVD_TOL=1e-7 restores the old two-decades-margin tier, 0
+#: keeps full rank).
+_SVD_TOL = 1e-5
 
 
 @functools.lru_cache(maxsize=32)
@@ -330,11 +335,11 @@ def _svd_fir_factors(w_key, nbins: int, tol: float = _SVD_TOL):
     """(u [ntaps, r], v [r, nbins]) f64 with u @ v ~= w to ``tol``, or
     None when the factorization wouldn't beat the direct loop.
 
-    The default tol sits two decades below the f32 pipeline's 3.1e-5
-    precision floor.  The int8-native path passes 1e-5 (rank 6 instead
-    of 8 at 32 taps — conv cost is linear in rank): its accuracy floor
-    is the 8-bit quantization itself (~1e-3 SNR-dependent), so a 1e-5
-    window perturbation is invisible there."""
+    The default tol (see _SVD_TOL) keeps the window perturbation below
+    the f32 pipeline's 3.1e-5 precision floor.  The int8-native path
+    shares it: its accuracy floor is the 8-bit quantization itself
+    (~1e-3 SNR-dependent), so a 1e-5 window perturbation is invisible
+    there."""
     w2d = np.asarray(w_key, np.float64).reshape(-1, nbins)
     ntaps = w2d.shape[0]
     if ntaps < SVD_FIR_MIN_TAPS:
@@ -344,10 +349,6 @@ def _svd_fir_factors(w_key, nbins: int, tol: float = _SVD_TOL):
     if r >= ntaps:
         return None  # full rank: nothing to gain
     return uu[:, :r] * ss[:r], vt[:r]
-
-
-#: SVD tolerance for the int8-native kernel (see _svd_fir_factors).
-_SVD_TOL_INT8 = 1e-5
 
 
 def _stage1_group(n1: int, tile: int) -> int:
@@ -904,12 +905,15 @@ def _trace_env() -> tuple:
 
 def svd_tol_active(int8: bool) -> float:
     """The SVD tolerance the kernel build will ACTUALLY factorize at —
-    the FXTPU_SVD_TOL override, else the dtype tier.  Routing decisions
+    the FXTPU_SVD_TOL override, else the default.  Routing decisions
     (fx._deep_svd_applies / 'auto') must call this, not read the
     defaults: an env override that changes whether the window
-    factorizes must change the route with it."""
+    factorizes must change the route with it.  (``int8`` is kept in the
+    signature for call-site symmetry; since r4 both ingest widths share
+    the 1e-5 default.)"""
+    del int8
     env = _trace_env()[4]
-    return (_SVD_TOL_INT8 if int8 else _SVD_TOL) if env is None else env
+    return _SVD_TOL if env is None else env
 
 
 @functools.partial(jax.jit,
@@ -978,13 +982,13 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
 
     # Deep-tap FIR: rank factorization -> banded-matmul inputs (see the
     # SVD-FIR block comment).  w_key is the static window fingerprint.
-    # FXTPU_SVD_TOL (trace-time, part of env_key) overrides the default
-    # tier: stage-1 conv cost is LINEAR in the retained rank, so e.g.
-    # 1e-5 (rank 6 instead of 8 at 32 taps, window error still 6x below
-    # the f32 pipeline's 3.1e-5 floor) is the wideband-f32 speed knob;
+    # FXTPU_SVD_TOL (trace-time, part of env_key) overrides the default:
+    # stage-1 conv cost is LINEAR in the retained rank.  The 1e-5
+    # default keeps rank 6 instead of 8 at 32 taps with the window error
+    # still 6x below the f32 pipeline's 3.1e-5 floor (r4 TPU A/B:
+    # wideband f32 9.29 -> 11.10 GS/s); 1e-7 restores the strict tier,
     # 0 keeps full rank (factorization declined -> direct tap loop).
-    tol = (_SVD_TOL_INT8 if int8_in else _SVD_TOL) if svd_tol is None \
-        else svd_tol
+    tol = _SVD_TOL if svd_tol is None else svd_tol
     fac = (_svd_fir_factors(w_key, nbins, tol)
            if w_key is not None else None)
     g1 = _stage1_group(n1, tile)

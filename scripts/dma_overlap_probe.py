@@ -36,11 +36,14 @@ def compute_block(slab_block, m_ref, out_acc):
     # slab_block [2, ROWS, L] int32 -> bf16 [128, 512] seed, then a chain
     # of MXU matmuls long enough to emulate the per-tile FFT load
     seed = slab_block[0, :64].astype(jnp.bfloat16).reshape(128, 1024)
+    # MXU accumulators must be 32-bit on hardware: accumulate f32, cast
+    # the chain value back to bf16 between links (same MXU load).
     x = jnp.dot(seed[:, :512], m_ref[:],
-                preferred_element_type=jnp.bfloat16)
+                preferred_element_type=jnp.float32)
     for _ in range(CH - 1):
-        x = jnp.dot(x, m_ref[:], preferred_element_type=jnp.bfloat16)
-    return out_acc + jnp.sum(x.astype(jnp.float32))
+        x = jnp.dot(x.astype(jnp.bfloat16), m_ref[:],
+                    preferred_element_type=jnp.float32)
+    return out_acc + jnp.sum(x)
 
 
 def make_kernel(mode):
@@ -129,7 +132,9 @@ def run_mode(mode):
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, 2, 2, ROWS, L), jnp.int32),
-            pltpu.VMEM((1, 1), jnp.float32),
+            # scalar accumulator must live in SMEM: Mosaic rejects scalar
+            # stores to VMEM on hardware (interpret mode doesn't enforce it)
+            pltpu.SMEM((1, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
