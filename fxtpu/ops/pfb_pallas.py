@@ -103,16 +103,24 @@ def _halo_pad(ntaps: int) -> int:
     return ((ntaps - 1 + 7) // 8) * 8
 
 
-def _pick_tile(s_rows: int, ntaps: int, want: int = 16):
+def _pick_tile(s_rows: int, ntaps: int, want: int = 16,
+               int8: bool = False):
     """Largest 8-multiple tile <= want dividing s_rows with
     tile >= halo_pad (so tile t>0 can read its full context slab).
     want=16 keeps the double-buffered slab + HIGHEST-precision matmul
-    intermediates inside the 16 MB VMEM budget at nbins=4096; deep-tap
-    PFBs raise it to TWICE the halo size — every tile re-reads `pad`
-    halo rows, so tile=pad means 2x HBM read amplification (measured as
-    the dominant wideband cost) while tile=2*pad is 1.5x."""
+    intermediates inside the 16 MB VMEM budget at nbins=4096 (the r4
+    TPU sweep confirmed it optimal at the flagship shape: tile 16/32/64
+    = 23.43/22.62/19.70 GS/s — bigger tiles LOSE to VMEM pressure
+    despite fewer descriptors).  Deep-tap PFBs raise it — every tile
+    re-reads `pad` halo rows, so tile=2*pad is 1.5x HBM read
+    amplification, 4*pad is 1.25x.  The f32 slab can only afford 2*pad;
+    the int8 slab (bytes /4) takes 4*pad, measured +5.7% at
+    wideband_int8 (13.19 -> 13.94 GS/s, r4 FXTPU_FUSED_TILE sweep)."""
     pad = _halo_pad(ntaps)
-    want = max(want, 2 * pad if pad > 16 else pad)
+    if pad > 16:
+        want = max(want, (4 if int8 else 2) * pad)
+    else:
+        want = max(want, pad)
     import os as _os
     want = int(_os.environ.get("FXTPU_FUSED_TILE", "0")) or want
     for tile in range(min(want, s_rows), 0, -1):
@@ -1244,7 +1252,7 @@ def fx_pallas_parts(x: Cplx, w2d, nbins: int, history: Cplx, pairs,
             f"channel axis mismatch: x implies nch={nch} but pairs imply "
             f"{nch_pairs} — merged inputs are [nch, K, S, lanes], legacy "
             f"stacks [K, nch, ...] (a swap silently transposes the kernel)")
-    tile = _pick_tile(s_rows, ntaps)
+    tile = _pick_tile(s_rows, ntaps, int8=int8_in)
     if tile is None:
         raise ValueError(f"unsupported shape: S={s_rows}, ntaps={ntaps}")
     if nch > MAX_FUSED_NCHAN:

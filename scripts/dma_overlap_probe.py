@@ -30,6 +30,20 @@ from jax.experimental.pallas import tpu as pltpu
 ROWS, L = 96, 2048
 NT = int(os.environ.get("NT", "64"))
 CH = int(os.environ.get("CHAIN", "24"))   # matmuls per tile
+VCH = int(os.environ.get("VCHAIN", "12"))  # VPU passes per tile (vcomp/vdyn)
+
+
+def vpu_block(slab_block, out_acc):
+    # VPU/VMEM-port-heavy compute: elementwise passes over the slab
+    # block (every operand is a VMEM load, every result a VMEM store) —
+    # the contention profile of the production kernel's accumulator and
+    # plane machinery, as opposed to compute_block's MXU chain.
+    x = slab_block[0].astype(jnp.float32)
+    y = slab_block[1].astype(jnp.float32)
+    for _ in range(VCH):
+        x = x * 1.0000001 + y
+        y = y * 0.9999999 + x
+    return out_acc + jnp.sum(x[:8, :128])
 
 
 def compute_block(slab_block, m_ref, out_acc):
@@ -68,6 +82,18 @@ def make_kernel(mode):
 
         if mode == "comp":
             acc[0, 0] = compute_block(slab[0, 0], m_ref, acc[0, 0])
+        elif mode == "vcomp":
+            acc[0, 0] = vpu_block(slab[0, 0], acc[0, 0])
+        elif mode == "vdyn":
+            buf = jax.lax.rem(g, 2)
+            for cp in copies(g, buf):
+                cp.wait()
+
+            @pl.when(g + 1 < NT)
+            def _():
+                for cp in copies(g + 1, jax.lax.rem(g + 1, 2)):
+                    cp.start()
+            acc[0, 0] = vpu_block(slab[buf, 0], acc[0, 0])
         elif mode == "dma":
             @pl.when(g + 1 < NT)
             def _():
@@ -162,7 +188,14 @@ def run_mode(mode):
 
 if __name__ == "__main__":
     ts = {}
-    for mode in ("dma", "comp", "dyn", "static"):
+    for mode in ("dma", "comp", "dyn", "static", "vcomp", "vdyn"):
         ts[mode] = run_mode(mode)
-    print(f"sum(dma,comp)={1e3*(ts['dma']+ts['comp']):.3f} ms  "
-          f"max={1e3*max(ts['dma'], ts['comp']):.3f} ms", flush=True)
+    print(f"MXU chain: sum(dma,comp)={1e3*(ts['dma']+ts['comp']):.3f} ms  "
+          f"max={1e3*max(ts['dma'], ts['comp']):.3f} ms  "
+          f"dyn={1e3*ts['dyn']:.3f} ms", flush=True)
+    print(f"VPU chain: sum(dma,vcomp)={1e3*(ts['dma']+ts['vcomp']):.3f} ms  "
+          f"max={1e3*max(ts['dma'], ts['vcomp']):.3f} ms  "
+          f"vdyn={1e3*ts['vdyn']:.3f} ms", flush=True)
+    print("(vdyn ~= sum -> DMA VMEM writes contend with VPU operand "
+          "traffic on the VMEM port; vdyn ~= max -> they overlap like "
+          "the MXU chain)", flush=True)

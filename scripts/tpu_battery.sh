@@ -109,6 +109,7 @@ run flagship                  -- python bench.py
 run flagship_int8             -- python bench.py --config default_int8
 run wideband                  -- python bench.py --config wideband
 run wideband_int8             -- python bench.py --config wideband_int8
+run nchan8                    -- python bench.py --config nchan8
 
 # ---- static-slot A/B (design.md §8d) -----------------------------------
 run flagship_static      FXTPU_FUSED_STATIC_SLOT=1 -- python bench.py
@@ -123,11 +124,13 @@ run wideband_int8_1pass  FXTPU_FFT_PRECISION=default -- python bench.py --config
 run wideband_int8_nbuf3 FXTPU_FUSED_NBUF=3 -- python bench.py --config wideband_int8
 run wideband_int8_nbuf4 FXTPU_FUSED_NBUF=4 -- python bench.py --config wideband_int8
 
-# ---- SVD rank tiering at wideband f32 (§8f: rank 8 -> 6 at 1e-5) --------
-run wideband_svdtol_1e5 FXTPU_SVD_TOL=1e-5 -- python bench.py --config wideband
+# ---- SVD rank tiering at wideband f32 (§8f; 1e-5/rank-6 is the DEFAULT
+# ---- since r4 — the A/B legs are the strict tier and the margin-eroding
+# ---- looser one) --------------------------------------------------------
+run wideband_svdtol_1e7 FXTPU_SVD_TOL=1e-7 -- python bench.py --config wideband
 run wideband_svdtol_3e5 FXTPU_SVD_TOL=3e-5 -- python bench.py --config wideband
-# max-speed wideband f32 attempt: both knobs together (VERDICT r3 next #4)
-run wideband_fast FXTPU_SVD_TOL=1e-5 FXTPU_FFT_PRECISION=default -- python bench.py --config wideband
+# max-speed wideband f32: 1-pass on top of the rank-6 default
+run wideband_fast FXTPU_FFT_PRECISION=default -- python bench.py --config wideband
 
 # ---- stage-truncation attribution (FXTPU_FUSED_ABLATE; bench is pure
 # ---- timing so truncated outputs are fine) — the MFU table (§8 next #2)

@@ -607,12 +607,34 @@ class TestInt8NativeDirect(TestInt8NativeFused):
 
 class TestInt8NativeDeepMultiTile(TestInt8NativeFused):
     """Deep-tap SVD conv with BOTH multiple tiles per block and multiple
-    blocks per dispatch (s_rows = 128, tile = 2*pad = 64 -> n_tiles = 2):
-    exercises the merged-rows layout's full copy grid — in-block tile
-    halos AND cross-block halos all read from one [nch, K*S, lanes]
-    stream (ops/pfb_pallas._fx_kernel tile_copies)."""
+    blocks per dispatch (s_rows = 256, int8 tile = 4*pad = 128 ->
+    n_tiles = 2): exercises the merged-rows layout's full copy grid —
+    in-block tile halos AND cross-block halos all read from one
+    [nch, K*S, lanes] stream (ops/pfb_pallas._fx_kernel tile_copies)."""
 
-    NS, NBINS, NTAPS = 2**15, 256, 32
+    NS, NBINS, NTAPS = 2**16, 256, 32
+
+
+def test_pick_tile_defaults():
+    """The tile heuristic pins the r4 TPU sweep: flagship stays at 16
+    (16/32/64 measured 23.43/22.62/19.70 GS/s — VMEM pressure beats
+    descriptor count), f32 deep taps take 2*pad (1.5x halo read
+    amplification), int8 deep taps take 4*pad (1.25x; slab bytes /4
+    make it affordable — measured 13.19 -> 13.94 GS/s at
+    wideband_int8).  FXTPU_FUSED_TILE still overrides."""
+    from fxtpu.ops.pfb_pallas import _halo_pad, _pick_tile
+    assert _pick_tile(512, 4) == 16                       # flagship
+    pad = _halo_pad(32)                                   # 32
+    assert _pick_tile(256, 32) == 2 * pad                 # wideband f32
+    assert _pick_tile(256, 32, int8=True) == 4 * pad      # wideband int8
+    # capped by s_rows and the divisibility constraint
+    assert _pick_tile(128, 32, int8=True) == 128
+    import os
+    os.environ["FXTPU_FUSED_TILE"] = "32"
+    try:
+        assert _pick_tile(512, 4) == 32
+    finally:
+        del os.environ["FXTPU_FUSED_TILE"]
 
 
 @pytest.mark.parametrize("ntaps", [4, 32])
