@@ -502,11 +502,25 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
     the dispatch at the bottom) — an A/B knob for probing whether Mosaic
     serializes the DMA/compute overlap on dynamically-indexed slots.
 
-    Debug-only: FXTPU_FUSED_ABLATE=dma|fir|fft1 (read at trace time)
-    truncates the per-tile pipeline after that stage, for localizing
-    kernel time on hardware (results are wrong by design)."""
+    Debug-only: FXTPU_FUSED_ABLATE (read at trace time; comma-separable)
+    truncates the per-tile pipeline for localizing kernel time on
+    hardware (results are wrong by design):
+
+      dmapure   true DMA floor — wait the slab copies, touch one vreg
+                per plane, skip EVERY downstream stage (the old 'dma'
+                bucket still ran the sample sums + accumulators + X on
+                the raw planes, so it overstated the DMA share)
+      dma       raw planes through the accumulate/X machinery (no
+                FIR/FFT); dma0 additionally skips the int8 unpack
+      fir/fft1  truncate after that compute stage
+      nox       composable: skip the X-stage products (the per-pair
+                multiply+reduce) while tout keeps every frame's FFT
+                live — 'full minus nox' exposes the X cost; 'dma,nox'
+                exposes the accumulator machinery without X."""
     import os as _os
-    _abl = _os.environ.get("FXTPU_FUSED_ABLATE", "")
+    _abl = frozenset(filter(None,
+                            _os.environ.get("FXTPU_FUSED_ABLATE",
+                                            "").split(",")))
     if svd_r:
         (bh_ref, bl_ref, v_ref, out_ref, tout_ref, uout_ref, sout_ref,
          hout_ref, slab, hist_s, sums_s, sems) = rest
@@ -620,6 +634,34 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
         # Everything downstream of the slab DMA for this tile; `buf` is
         # dynamic (g % nbuf) normally, a Python int under static_slot.
 
+        if "dmapure" in _abl:
+            # true DMA floor: the slab copies stay live through one tiny
+            # per-plane reduction; every downstream stage is skipped and
+            # the output windows get constant writes at t == 0 only
+            # touch the DATA region only — the g == 0 tile's front pad
+            # rows are never written (uninitialized VMEM is NaN under
+            # interpret mode, and the smoke test asserts finiteness)
+            ts0 = jnp.sum(slab[buf, 0, 0][pad:pad + 8].astype(jnp.float32))
+            ts1 = jnp.sum(slab[buf, 1, 0][pad:pad + 8].astype(jnp.float32))
+            zero = jnp.zeros((n1, n2), jnp.float32)
+
+            @pl.when(t == 0)
+            def _():
+                sout_ref[0] = jnp.full((8, 128), ts0 + ts1, jnp.float32)
+                for ib in range(len(pairs)):
+                    out_ref[0, ib, 0] = zero
+                    out_ref[0, ib, 1] = zero
+                for c in range(nch):
+                    tout_ref[0, c, 0] = zero
+                    tout_ref[0, c, 1] = zero
+                    uout_ref[0, c, 0] = zero
+                    uout_ref[0, c, 1] = zero
+
+            @pl.when((k == k_blocks - 1) & (t == n_tiles - 1))
+            def _():
+                hout_ref[...] = jnp.zeros(hout_ref.shape, jnp.float32)
+            return
+
         # ---- t == 0: slab front <- carried history (f32 corrected-tail mode;
         # int8 mode's raw front rows arrived with the uniform copy — at k > 0
         # they ARE the previous block's raw tail, the int8 history contract)
@@ -637,7 +679,7 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
         ssum = jnp.zeros((8, 128), jnp.float32)
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         for c in range(nch):
-            if int8_in and _abl == "dma0":
+            if int8_in and "dma0" in _abl:
                 # raw packed-DMA floor: touch the slab words, skip the
                 # unpack.  Lane-level zero-pad (packed words are nbins/4
                 # lanes) keeps the spec shape for ANY n1, including the
@@ -665,7 +707,7 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
             si = jnp.sum(plane_im[pad:].astype(jnp.float32))
             ssum = ssum + jnp.where(lane == 2 * c, sr, 0.0) \
                 + jnp.where(lane == 2 * c + 1, si, 0.0)
-            if _abl == "dma":
+            if "dma" in _abl:
                 spec.append((plane_re[:tile].astype(jnp.float32
                                                     ).reshape(tile, n1, n2),
                              plane_im[:tile].astype(jnp.float32
@@ -731,7 +773,7 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
             # dispatches (21.8 vs 22.9 GS/s at G=4) so g1=1; at wideband
             # n1=64 the per-frame [128,128]@[128,128] dots are latency-bound
             # and grouping frames onto the lanes wins.
-            if _abl == "fir":
+            if "fir" in _abl:
                 spec.append((fir_re.reshape(tile, n1, n2),
                              fir_im.reshape(tile, n1, n2)))
                 continue
@@ -761,7 +803,7 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                     bis.append(ar * tws_ref[:] + ai * twc_ref[:])
             # stage 2 contracts i2 over the LANES: one combined right matmul
             #   [re | im] = [br | bi] @ [[C2, S2], [-S2, C2]]
-            if _abl == "fft1":
+            if "fft1" in _abl:
                 spec.append((jnp.concatenate(brs, 0).reshape(tile, n1, n2),
                              jnp.concatenate(bis, 0).reshape(tile, n1, n2)))
                 continue
@@ -845,6 +887,15 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
 
         # ---- X-stage: accumulate raw cross power over this tile's frames ------
         for ib, (p, q) in enumerate(pairs):
+            if "nox" in _abl:
+                # skip the per-pair products/reduces; tout above already
+                # keeps every frame's FFT live, so 'full - nox' exposes
+                # exactly the X-stage cost
+                @pl.when(t == 0)
+                def _(ib=ib):
+                    out_ref[0, ib, 0] = jnp.zeros((n1, n2), jnp.float32)
+                    out_ref[0, ib, 1] = jnp.zeros((n1, n2), jnp.float32)
+                continue
             pr, pi = spec[p]
             qr, qi = spec[q]
             acc_re = jnp.sum(pr * qr + pi * qi, axis=0)   # [n1, n2]

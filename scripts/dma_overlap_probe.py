@@ -1,7 +1,7 @@
 """Standalone TPU probe: does DMA overlap compute in the fused kernel's
 double-buffer pattern (ops/pfb_pallas._fx_kernel)?
 
-Four kernels over the SAME merged-layout copies ([2, 96, 2048] int32
+Kernels over the SAME merged-layout copies ([2, 96, 2048] int32
 per plane from [nch, R, L]) on a 1-D grid of NT tiles:
 
   dma      pure DMA chain (no compute)            -> T_dma
@@ -14,6 +14,22 @@ If T_dyn ~= T_dma + T_comp but T_static ~= max(T_dma, T_comp), the
 dynamic slab indexing is serializing the pipeline and the production
 kernel should specialize slots.  Compute = CH chained [128,512]x[512,512]
 bf16 matmuls per tile to emulate ~the FFT/conv MXU load.
+
+VMEM-port legs (r4 §8g hypothesis — DMA VMEM writes vs VPU operand
+traffic):
+
+  vcomp    pure VPU/VMEM elementwise passes (no DMA)   -> T_vcomp
+  vdyn     dyn pattern with the VPU body               -> T_vdyn
+
+Structural-bisect legs (if BOTH chains overlap in isolation, what in
+the production kernel serializes it?):
+
+  dyn2d    dyn MXU body on a 2-D grid (KB, NT/KB) with a block-mapped
+           VMEM output window accumulated ``+=`` every tile and swapped
+           every KB steps — the production out_ref machinery
+  dynmix   dyn with the production-shaped body: VPU tap/sum passes over
+           the slab AND the MXU chain AND vreg-scale elementwise between
+           dots (FIR + FFT + X in miniature)
 """
 import os
 import time
@@ -60,6 +76,73 @@ def compute_block(slab_block, m_ref, out_acc):
     return out_acc + jnp.sum(x)
 
 
+def mixed_block(slab_block, m_ref, out_acc):
+    # Production-shaped body in miniature: FIR-like shifted VPU passes
+    # over the slab + per-plane sum + the MXU chain with elementwise
+    # (twiddle-like) ops between dots.
+    x = slab_block[0].astype(jnp.float32)   # [ROWS, L]
+    y = slab_block[1].astype(jnp.float32)
+    fir = x[0:ROWS - 8] * 0.25
+    for t in range(1, 4):
+        fir = fir + x[t:ROWS - 8 + t] * (0.25 + 0.01 * t)
+    s = jnp.sum(y[8:])
+    seed = fir[:64].astype(jnp.bfloat16).reshape(128, 1024)
+    z = jnp.dot(seed[:, :512], m_ref[:], preferred_element_type=jnp.float32)
+    for _ in range(CH // 2 - 1):
+        z = z * 1.0000001 + 0.0000001          # twiddle-like vreg pass
+        z = jnp.dot(z.astype(jnp.bfloat16), m_ref[:],
+                    preferred_element_type=jnp.float32)
+    return out_acc + jnp.sum(z) + s
+
+
+def make_2d_kernel():
+    # dyn MXU body on a 2-D (KB, NT//KB) grid with a block-mapped VMEM
+    # output window accumulated += every tile (production out_ref shape)
+    KB = int(os.environ.get("KB", "8"))
+    nt2 = NT // KB
+
+    def kernel(xa_ref, xb_ref, m_ref, out_ref, slab, acc, sems):
+        k = pl.program_id(0)
+        t = pl.program_id(1)
+        g = k * nt2 + t
+
+        def copies(tt, slot):
+            start = pl.multiple_of(tt * ROWS, 8)
+            return [
+                pltpu.make_async_copy(xa_ref.at[:, pl.ds(start, ROWS)],
+                                      slab.at[slot, 0], sems.at[slot, 0]),
+                pltpu.make_async_copy(xb_ref.at[:, pl.ds(start, ROWS)],
+                                      slab.at[slot, 1], sems.at[slot, 1]),
+            ]
+
+        @pl.when(g == 0)
+        def _():
+            acc[0, 0] = 0.0
+            for cp in copies(0, 0):
+                cp.start()
+
+        buf = jax.lax.rem(g, 2)
+        for cp in copies(g, buf):
+            cp.wait()
+
+        @pl.when(g + 1 < NT)
+        def _():
+            for cp in copies(g + 1, jax.lax.rem(g + 1, 2)):
+                cp.start()
+        acc[0, 0] = compute_block(slab[buf, 0], m_ref, acc[0, 0])
+        part = jnp.full((8, 128), acc[0, 0], jnp.float32)
+
+        @pl.when(t == 0)
+        def _():
+            out_ref[0] = part
+
+        @pl.when(t != 0)
+        def _():
+            out_ref[0] += part
+
+    return kernel, KB, nt2
+
+
 def make_kernel(mode):
     def kernel(xa_ref, xb_ref, m_ref, out_ref, slab, acc, sems):
         g = pl.program_id(0)
@@ -76,7 +159,10 @@ def make_kernel(mode):
         @pl.when(g == 0)
         def _():
             acc[0, 0] = 0.0
-            if mode != "comp":
+            # pure-compute modes must not start copies: nothing ever waits
+            # on them, and an outstanding DMA at kernel end is a hardware
+            # error (vcomp crashed exactly this way on the first run)
+            if mode not in ("comp", "vcomp", "mix"):
                 for cp in copies(0, 0):
                     cp.start()
 
@@ -111,6 +197,18 @@ def make_kernel(mode):
                 for cp in copies(g + 1, jax.lax.rem(g + 1, 2)):
                     cp.start()
             acc[0, 0] = compute_block(slab[buf, 0], m_ref, acc[0, 0])
+        elif mode == "mix":
+            acc[0, 0] = mixed_block(slab[0, 0], m_ref, acc[0, 0])
+        elif mode == "dynmix":
+            buf = jax.lax.rem(g, 2)
+            for cp in copies(g, buf):
+                cp.wait()
+
+            @pl.when(g + 1 < NT)
+            def _():
+                for cp in copies(g + 1, jax.lax.rem(g + 1, 2)):
+                    cp.start()
+            acc[0, 0] = mixed_block(slab[buf, 0], m_ref, acc[0, 0])
         else:  # static: constant slot indices inside parity branches
             @pl.when(jax.lax.rem(g, 2) == 0)
             def _():
@@ -149,24 +247,41 @@ def run_mode(mode):
                                   dtype=np.int64).astype(np.int32))
     m = jnp.asarray(rng.normal(size=(512, 512)).astype(np.float32) * 0.01,
                     jnp.bfloat16)
-    call = pl.pallas_call(
-        make_kernel(mode),
-        grid=(NT,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, 2, 2, ROWS, L), jnp.int32),
-            # scalar accumulator must live in SMEM: Mosaic rejects scalar
-            # stores to VMEM on hardware (interpret mode doesn't enforce it)
-            pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
-        interpret=jax.default_backend() != "tpu",
-    )
+    scratch = [
+        pltpu.VMEM((2, 2, 2, ROWS, L), jnp.int32),
+        # scalar accumulator must live in SMEM: Mosaic rejects scalar
+        # stores to VMEM on hardware (interpret mode doesn't enforce it)
+        pltpu.SMEM((1, 1), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 2)),
+    ]
+    params = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+    interp = jax.default_backend() != "tpu"
+    if mode == "dyn2d":
+        kernel, KB, nt2 = make_2d_kernel()
+        call = pl.pallas_call(
+            kernel,
+            grid=(KB, nt2),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 8, 128), lambda k, t: (k, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((KB, 8, 128), jnp.float32),
+            scratch_shapes=scratch,
+            compiler_params=params,
+            interpret=interp,
+        )
+    else:
+        call = pl.pallas_call(
+            make_kernel(mode),
+            grid=(NT,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            scratch_shapes=scratch,
+            compiler_params=params,
+            interpret=interp,
+        )
 
     @jax.jit
     def run(xa, xb, m):
@@ -187,15 +302,26 @@ def run_mode(mode):
 
 
 if __name__ == "__main__":
+    import sys
+    modes = (sys.argv[1].split(",") if len(sys.argv) > 1 else
+             ("dma", "comp", "dyn", "static", "vcomp", "vdyn",
+              "mix", "dynmix", "dyn2d"))
     ts = {}
-    for mode in ("dma", "comp", "dyn", "static", "vcomp", "vdyn"):
+    for mode in modes:
         ts[mode] = run_mode(mode)
-    print(f"MXU chain: sum(dma,comp)={1e3*(ts['dma']+ts['comp']):.3f} ms  "
-          f"max={1e3*max(ts['dma'], ts['comp']):.3f} ms  "
-          f"dyn={1e3*ts['dyn']:.3f} ms", flush=True)
-    print(f"VPU chain: sum(dma,vcomp)={1e3*(ts['dma']+ts['vcomp']):.3f} ms  "
-          f"max={1e3*max(ts['dma'], ts['vcomp']):.3f} ms  "
-          f"vdyn={1e3*ts['vdyn']:.3f} ms", flush=True)
-    print("(vdyn ~= sum -> DMA VMEM writes contend with VPU operand "
-          "traffic on the VMEM port; vdyn ~= max -> they overlap like "
-          "the MXU chain)", flush=True)
+
+    def line(name, comp_key, dyn_key):
+        if comp_key in ts and dyn_key in ts and "dma" in ts:
+            print(f"{name}: sum(dma,{comp_key})="
+                  f"{1e3*(ts['dma']+ts[comp_key]):.3f} ms  "
+                  f"max={1e3*max(ts['dma'], ts[comp_key]):.3f} ms  "
+                  f"{dyn_key}={1e3*ts[dyn_key]:.3f} ms", flush=True)
+
+    line("MXU chain", "comp", "dyn")
+    line("VPU chain", "vcomp", "vdyn")
+    line("mixed body", "mix", "dynmix")
+    if "dyn2d" in ts and "dyn" in ts:
+        print(f"2-D grid + out window: dyn2d={1e3*ts['dyn2d']:.3f} ms "
+              f"vs dyn={1e3*ts['dyn']:.3f} ms", flush=True)
+    print("(X ~= sum -> that leg's compute serializes against the DMA; "
+          "X ~= max -> overlaps)", flush=True)

@@ -727,7 +727,11 @@ def test_svd_tol_env_knob_rank_and_parity(monkeypatch):
 @pytest.mark.parametrize("stage,int8", [("dma", False), ("fir", False),
                                         ("fft1", False), ("dma0", True),
                                         ("dma", True), ("fir", True),
-                                        ("fft1", True)])
+                                        ("fft1", True),
+                                        ("dmapure", False),
+                                        ("dmapure", True),
+                                        ("nox", False), ("nox", True),
+                                        ("dma,nox", False)])
 def test_fused_ablate_stages_build_and_run(monkeypatch, stage, int8):
     """FXTPU_FUSED_ABLATE truncates the kernel after a stage for on-chip
     time attribution (outputs wrong BY DESIGN — this only asserts every
