@@ -55,6 +55,7 @@ to the XLA path otherwise (`supported`).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -445,7 +446,8 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                n_tiles: int, nch: int, k_blocks: int, pairs,
                svd_r: int = 0, g1: int = 1, int8_in: bool = False,
                nbuf: int = 2, split_dma: bool = False,
-               static_slot: bool = False, one_pass: bool = False):
+               static_slot: bool = False, one_pass: bool = False,
+               xtra: int = 0, local_halo: bool = False):
     """Grid (K, n_tiles), sequential.  Per program: DMA one slab of PFB
     rows (double-buffered, prefetching the NEXT program's slab), FIR,
     transpose-free 2-stage split-bf16 FFT, and accumulate per block.
@@ -516,17 +518,22 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
       nox       composable: skip the X-stage products (the per-pair
                 multiply+reduce) while tout keeps every frame's FFT
                 live — 'full minus nox' exposes the X cost; 'dma,nox'
-                exposes the accumulator machinery without X."""
+                exposes the accumulator machinery without X
+      dmax2     composable IN-SITU overlap test: each tile DMAs tile
+                extra rows (2x the input DMA) while compute is
+                unchanged — if the step time stays ~flat the input DMA
+                was overlapping compute; if it grows by the extra DMA
+                time, the production pipeline is serial."""
     import os as _os
     _abl = frozenset(filter(None,
                             _os.environ.get("FXTPU_FUSED_ABLATE",
                                             "").split(",")))
     if svd_r:
         (bh_ref, bl_ref, v_ref, out_ref, tout_ref, uout_ref, sout_ref,
-         hout_ref, slab, hist_s, sums_s, sems) = rest
+         hout_ref, slab, hist_s, sums_s, tail_s, sems) = rest
     else:
         (out_ref, tout_ref, uout_ref, sout_ref, hout_ref,
-         slab, hist_s, sums_s, sems) = rest
+         slab, hist_s, sums_s, tail_s, sems) = rest
     k = pl.program_id(0)
     t = pl.program_id(1)
     g = k * n_tiles + t
@@ -535,6 +542,9 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
     pad = _halo_pad(ntaps)
     buf = jax.lax.rem(g, nbuf)
     s_rows = n_tiles * tile
+    # xtra > 0 = the dmax2 in-situ overlap test: DMA `tile` extra rows
+    # per tile (slab sized to match in _fx_call); compute reads only the
+    # normal window
 
     def tile_copies(kk, tt, slot):
         # rows [kk*s_rows + tt*tile - pad, +(pad+tile)) of the MERGED
@@ -545,22 +555,35 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
         # non-negative start); g == 0's front comes from hist instead.
         # split_dma issues one DMA per (channel, plane): more descriptors
         # in flight for shapes where one stream can't reach HBM bandwidth.
-        start = pl.multiple_of(kk * s_rows + tt * tile - pad, 8)
+        # FXTPU_FUSED_LOCAL_HALO=1: DMA only the tile's own data rows
+        # (into the slab data region); the pad front is filled from the
+        # carried tail scratch instead of re-reading those rows from HBM
+        # (1.5x read amplification at tile = 2*pad)
+        head = 0 if local_halo else pad
+        raw = kk * s_rows + tt * tile - head
+        if xtra:
+            # clamp so the widened read stays in bounds (timing-only)
+            raw = jnp.minimum(raw, k_blocks * s_rows - (head + tile + xtra))
+        start = pl.multiple_of(raw, 8)
+        dst0 = pad - head
         if split_dma:
             return [
                 pltpu.make_async_copy(
                     (xre_ref if p == 0 else xim_ref
-                     ).at[c, pl.ds(start, pad + tile)],
-                    slab.at[slot, p, c], sems.at[slot, 2 * c + p])
+                     ).at[c, pl.ds(start, head + tile + xtra)],
+                    slab.at[slot, p, c, pl.ds(dst0, head + tile + xtra)],
+                    sems.at[slot, 2 * c + p])
                 for c in range(nch) for p in range(2)
             ]
         return [
             pltpu.make_async_copy(
-                xre_ref.at[:, pl.ds(start, pad + tile)],
-                slab.at[slot, 0], sems.at[slot, 0]),
+                xre_ref.at[:, pl.ds(start, head + tile + xtra)],
+                slab.at[slot, 0, :, pl.ds(dst0, head + tile + xtra)],
+                sems.at[slot, 0]),
             pltpu.make_async_copy(
-                xim_ref.at[:, pl.ds(start, pad + tile)],
-                slab.at[slot, 1], sems.at[slot, 1]),
+                xim_ref.at[:, pl.ds(start, head + tile + xtra)],
+                slab.at[slot, 1, :, pl.ds(dst0, head + tile + xtra)],
+                sems.at[slot, 1]),
         ]
 
     def g0_data_copies(slot):
@@ -665,7 +688,37 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
         # ---- t == 0: slab front <- carried history (f32 corrected-tail mode;
         # int8 mode's raw front rows arrived with the uniform copy — at k > 0
         # they ARE the previous block's raw tail, the int8 history contract)
-        if not int8_in:
+        if local_halo:
+            # the DMA brought only the data rows; the pad front comes
+            # from the carried raw tail (tail_s), except where the
+            # existing history contracts own it: f32 t == 0 uses the
+            # CORRECTED hist_s tail; int8 g == 0 front arrived via the
+            # history DMA
+            if int8_in:
+                @pl.when(g > 0)
+                def _():
+                    for c in range(nch):
+                        slab[buf, 0, c, :pad] = tail_s[c, 0]
+                        slab[buf, 1, c, :pad] = tail_s[c, 1]
+            else:
+                @pl.when(t == 0)
+                def _():
+                    for c in range(nch):
+                        slab[buf, 0, c, :pad] = hist_s[c, 0]
+                        slab[buf, 1, c, :pad] = hist_s[c, 1]
+
+                @pl.when(t != 0)
+                def _():
+                    for c in range(nch):
+                        slab[buf, 0, c, :pad] = tail_s[c, 0]
+                        slab[buf, 1, c, :pad] = tail_s[c, 1]
+            # save THIS tile's raw tail for the next tile's front (reads
+            # the just-DMA'd data region, so any position in the tile
+            # works; doing it here keeps the carry obviously ordered)
+            for c in range(nch):
+                tail_s[c, 0] = slab[buf, 0, c, tile:tile + pad]
+                tail_s[c, 1] = slab[buf, 1, c, tile:tile + pad]
+        elif not int8_in:
             @pl.when(t == 0)
             def _():
                 for c in range(nch):
@@ -703,8 +756,8 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                 plane_re = slab[buf, 0, c]
                 plane_im = slab[buf, 1, c]
             # raw sample sums over THIS tile's own data rows only
-            sr = jnp.sum(plane_re[pad:].astype(jnp.float32))
-            si = jnp.sum(plane_im[pad:].astype(jnp.float32))
+            sr = jnp.sum(plane_re[pad:pad + tile].astype(jnp.float32))
+            si = jnp.sum(plane_im[pad:pad + tile].astype(jnp.float32))
             ssum = ssum + jnp.where(lane == 2 * c, sr, 0.0) \
                 + jnp.where(lane == 2 * c + 1, si, 0.0)
             if "dma" in _abl:
@@ -785,8 +838,8 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                     x2 = jnp.concatenate([f3r[base], f3i[base]], axis=0)
                 else:
                     x2 = jnp.concatenate(
-                        [jnp.concatenate([f3r[base + g], f3i[base + g]],
-                                         axis=0) for g in range(g1)],
+                        [jnp.concatenate([f3r[base + fg], f3i[base + fg]],
+                                         axis=0) for fg in range(g1)],
                         axis=1)                       # [2n1, g1*n2]
                 if one_pass:
                     a = jnp.dot(m1h_ref[:], x2.astype(jnp.bfloat16), **kw)
@@ -795,30 +848,42 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                     a = (jnp.dot(m1h_ref[:], hi, **kw)
                          + jnp.dot(m1l_ref[:], hi, **kw)
                          + jnp.dot(m1h_ref[:], lo, **kw))
-                for g in range(g1):
-                    ar = a[:n1, g * n2:(g + 1) * n2]
-                    ai = a[n1:, g * n2:(g + 1) * n2]
+                for fg in range(g1):
+                    ar = a[:n1, fg * n2:(fg + 1) * n2]
+                    ai = a[n1:, fg * n2:(fg + 1) * n2]
                     # twiddle W_N^{i2*k1}, arranged [k1, i2] (natural layout)
                     brs.append(ar * twc_ref[:] - ai * tws_ref[:])
                     bis.append(ar * tws_ref[:] + ai * twc_ref[:])
-            # stage 2 contracts i2 over the LANES: one combined right matmul
-            #   [re | im] = [br | bi] @ [[C2, S2], [-S2, C2]]
+            # stage 2 contracts i2 over the LANES via the GAUSS 3-mult
+            # complex product (re = br C2 - bi S2, im = br S2 + bi C2):
+            #   k1 = (br+bi) @ C2, k2 = bi @ (C2+S2), k3 = br @ (S2-C2)
+            #   re = k1 - k2, im = k1 + k3
+            # — 3 [n2, n2] dots instead of the combined [2n2, 2n2] block
+            # matmul's 4-dot equivalent.  Stage 2 is MXU-saturated (r4
+            # decomposition: 13.7 of 42.6 ps/sample at the flagship
+            # shape, ~peak bf16 rate), so the 25% flop cut is real time;
+            # the extra VPU add/subs ride under the MXU.  m2h/m2l arrive
+            # stacked [3, n2, n2] (hi/lo splits of C2, C2+S2, S2-C2).
             if "fft1" in _abl:
                 spec.append((jnp.concatenate(brs, 0).reshape(tile, n1, n2),
                              jnp.concatenate(bis, 0).reshape(tile, n1, n2)))
                 continue
             br2 = jnp.concatenate(brs, axis=0)   # [tile*n1 (k1-rows), n2 (i2)]
             bi2 = jnp.concatenate(bis, axis=0)
-            x2 = jnp.concatenate([br2, bi2], axis=1)        # [tile*n1, 2*n2]
+            bs2 = br2 + bi2
             if one_pass:
-                cc = jnp.dot(x2.astype(jnp.bfloat16), m2h_ref[:], **kw)
+                k1 = jnp.dot(bs2.astype(jnp.bfloat16), m2h_ref[0], **kw)
+                k2 = jnp.dot(bi2.astype(jnp.bfloat16), m2h_ref[1], **kw)
+                k3 = jnp.dot(br2.astype(jnp.bfloat16), m2h_ref[2], **kw)
             else:
-                hi, lo = _split_bf16(x2)
-                cc = (jnp.dot(hi, m2h_ref[:], **kw)
-                      + jnp.dot(hi, m2l_ref[:], **kw)
-                      + jnp.dot(lo, m2h_ref[:], **kw))
-            cr = cc[:, :n2].reshape(tile, n1, n2)
-            ci = cc[:, n2:].reshape(tile, n1, n2)
+                sh, sl = _split_bf16(bs2)
+                bih, bil = _split_bf16(bi2)
+                brh, brl = _split_bf16(br2)
+                k1 = _dot3(sh, sl, m2h_ref[0], m2l_ref[0])
+                k2 = _dot3(bih, bil, m2h_ref[1], m2l_ref[1])
+                k3 = _dot3(brh, brl, m2h_ref[2], m2l_ref[2])
+            cr = (k1 - k2).reshape(tile, n1, n2)
+            ci = (k1 + k3).reshape(tile, n1, n2)
             # spectra [tile, k1, k2]; bin index = k1 + n1*k2 (permuted — the
             # tiny integrated visibility is gathered to natural order outside)
             spec.append((cr, ci))
@@ -877,9 +942,11 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                     mu_im = jnp.sum(jnp.where(lane2 == 2 * c + 1,
                                               sums_s[...], 0.0)) * inv_n
                     hist_s[c, 0, pad - halo:] = (
-                        slab[buf, 0, c, pad + tile - halo:] - mu_re)
+                        slab[buf, 0, c,
+                             pad + tile - halo:pad + tile] - mu_re)
                     hist_s[c, 1, pad - halo:] = (
-                        slab[buf, 1, c, pad + tile - halo:] - mu_im)
+                        slab[buf, 1, c,
+                             pad + tile - halo:pad + tile] - mu_im)
 
             @pl.when((k == k_blocks - 1) & (t == n_tiles - 1))
             def _():
@@ -959,7 +1026,8 @@ def _trace_env() -> tuple:
             _os.environ.get("FXTPU_FUSED_SPLITDMA", "") == "1",
             _os.environ.get("FXTPU_FUSED_STATIC_SLOT", "") == "1",
             cfft.precision_name(),
-            svd)
+            svd,
+            _os.environ.get("FXTPU_FUSED_LOCAL_HALO", "") == "1")
 
 
 def svd_tol_active(int8: bool) -> float:
@@ -1016,7 +1084,10 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
 
     # stage 1 is a LEFT multiply: [[C,-S],[S,C]] = big(C,S).T (C,S symmetric)
     m1h, m1l = split_np(big(c1, s1).T)
-    m2h, m2l = split_np(big(c2, s2))
+    # stage 2 runs the Gauss 3-mult complex product in-kernel: stacked
+    # [3, n2, n2] = (C2, C2+S2, S2-C2) instead of the [2n2, 2n2] block
+    # matrix (25% fewer MXU flops at the same split precision)
+    m2h, m2l = split_np(np.stack([c2, c2 + s2, s2 - c2]))
     nbl = len(pairs_t)
     pad = _halo_pad(ntaps)
 
@@ -1037,7 +1108,8 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
     # Trace-time kernel knobs: part of _fx_call's STATIC cache key (see
     # _trace_env — a bare env read here would let the module-level jit
     # cache serve a stale executable after an env flip, r2 review).
-    nbuf, split_dma, static_slot, prec, svd_tol = env_key or _trace_env()
+    (nbuf, split_dma, static_slot, prec, svd_tol,
+     local_halo) = env_key or _trace_env()
 
     # Deep-tap FIR: rank factorization -> banded-matmul inputs (see the
     # SVD-FIR block comment).  w_key is the static window fingerprint.
@@ -1079,6 +1151,11 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
     # input is bf16-exact).  HIGHEST is not implementable at MXU speed in
     # this kernel — fx._resolve_fused keeps 'auto' on the XLA path there;
     # a FORCED fused engine falls back to HIGH with a warning.
+    # dmax2 (debug ablate): widen every tile copy by `tile` rows when the
+    # merged input is big enough (the in-situ DMA-overlap test)
+    xtra = (tile if "dmax2" in os.environ.get(
+        "FXTPU_FUSED_ABLATE", "").split(",")
+        and rows_total >= 2 * tile + pad else 0)
     one_pass = prec == "default"
     if prec == "highest":
         import warnings
@@ -1094,7 +1171,8 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
                           k_blocks=k_blocks, pairs=pairs_t, svd_r=svd_r,
                           g1=g1, int8_in=int8_in, nbuf=nbuf,
                           split_dma=split_dma, static_slot=static_slot,
-                          one_pass=one_pass),
+                          one_pass=one_pass, xtra=xtra,
+                          local_halo=local_halo),
         grid=(k_blocks, s_rows // tile),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),    # x re (manual DMA)
@@ -1127,10 +1205,12 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
             jax.ShapeDtypeStruct(hist_shape, jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, 2, nch, tile + _halo_pad(ntaps), nb_lanes),
-                       slab_dtype),
+            pltpu.VMEM((nbuf, 2, nch, tile + _halo_pad(ntaps) + xtra,
+                        nb_lanes), slab_dtype),
             pltpu.VMEM(hist_shape, jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
+            # raw interior tail carry (FXTPU_FUSED_LOCAL_HALO); tiny
+            pltpu.VMEM((nch, 2, pad, nb_lanes), slab_dtype),
             pltpu.SemaphoreType.DMA((nbuf, 2 * nch + 2)),
         ],
         # deep-tap/wideband shapes need a bigger slab than the 16 MB

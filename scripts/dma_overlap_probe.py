@@ -47,6 +47,12 @@ ROWS, L = 96, 2048
 NT = int(os.environ.get("NT", "64"))
 CH = int(os.environ.get("CHAIN", "24"))   # matmuls per tile
 VCH = int(os.environ.get("VCHAIN", "12"))  # VPU passes per tile (vcomp/vdyn)
+# In-kernel repeat factor: the 1-chip tunnel costs ~1.4-2 ms PER DISPATCH
+# (design.md §3), which swamps a ~0.4 ms kernel — every pre-r4 run of this
+# probe (including the §8d 'dyn overlaps' readings) measured dispatch
+# latency, not the kernel.  REPS re-walks the same NT tiles in one launch
+# so kernel time ~= REPS * NT * tile_time >> the dispatch floor.
+REPS = int(os.environ.get("REPS", "16"))
 
 
 def vpu_block(slab_block, out_acc):
@@ -96,15 +102,17 @@ def mixed_block(slab_block, m_ref, out_acc):
 
 
 def make_2d_kernel():
-    # dyn MXU body on a 2-D (KB, NT//KB) grid with a block-mapped VMEM
-    # output window accumulated += every tile (production out_ref shape)
-    KB = int(os.environ.get("KB", "8"))
-    nt2 = NT // KB
+    # dyn MXU body on a 2-D (KB, 4) grid with a block-mapped VMEM output
+    # window accumulated += every tile and swapped every 4 tiles — the
+    # production out_ref cadence (n_tiles = 4 at the flagship shape)
+    nt2 = 4
+    KB = NT * REPS // nt2
 
     def kernel(xa_ref, xb_ref, m_ref, out_ref, slab, acc, sems):
         k = pl.program_id(0)
         t = pl.program_id(1)
         g = k * nt2 + t
+        total = NT * REPS
 
         def copies(tt, slot):
             start = pl.multiple_of(tt * ROWS, 8)
@@ -122,12 +130,12 @@ def make_2d_kernel():
                 cp.start()
 
         buf = jax.lax.rem(g, 2)
-        for cp in copies(g, buf):
+        for cp in copies(jax.lax.rem(g, NT), buf):
             cp.wait()
 
-        @pl.when(g + 1 < NT)
+        @pl.when(g + 1 < total)
         def _():
-            for cp in copies(g + 1, jax.lax.rem(g + 1, 2)):
+            for cp in copies(jax.lax.rem(g + 1, NT), jax.lax.rem(g + 1, 2)):
                 cp.start()
         acc[0, 0] = compute_block(slab[buf, 0], m_ref, acc[0, 0])
         part = jnp.full((8, 128), acc[0, 0], jnp.float32)
@@ -146,6 +154,9 @@ def make_2d_kernel():
 def make_kernel(mode):
     def kernel(xa_ref, xb_ref, m_ref, out_ref, slab, acc, sems):
         g = pl.program_id(0)
+        total = NT * REPS
+        ta = jax.lax.rem(g, NT)      # this tile's data address
+        na = jax.lax.rem(g + 1, NT)  # lookahead tile's address
 
         def copies(tt, slot):
             start = pl.multiple_of(tt * ROWS, 8)
@@ -172,67 +183,67 @@ def make_kernel(mode):
             acc[0, 0] = vpu_block(slab[0, 0], acc[0, 0])
         elif mode == "vdyn":
             buf = jax.lax.rem(g, 2)
-            for cp in copies(g, buf):
+            for cp in copies(ta, buf):
                 cp.wait()
 
-            @pl.when(g + 1 < NT)
+            @pl.when(g + 1 < total)
             def _():
-                for cp in copies(g + 1, jax.lax.rem(g + 1, 2)):
+                for cp in copies(na, jax.lax.rem(g + 1, 2)):
                     cp.start()
             acc[0, 0] = vpu_block(slab[buf, 0], acc[0, 0])
         elif mode == "dma":
-            @pl.when(g + 1 < NT)
+            @pl.when(g + 1 < total)
             def _():
-                for cp in copies(g + 1, jax.lax.rem(g + 1, 2)):
+                for cp in copies(na, jax.lax.rem(g + 1, 2)):
                     cp.start()
-            for cp in copies(g, jax.lax.rem(g, 2)):
+            for cp in copies(ta, jax.lax.rem(g, 2)):
                 cp.wait()
         elif mode == "dyn":
             buf = jax.lax.rem(g, 2)
-            for cp in copies(g, buf):
+            for cp in copies(ta, buf):
                 cp.wait()
 
-            @pl.when(g + 1 < NT)
+            @pl.when(g + 1 < total)
             def _():
-                for cp in copies(g + 1, jax.lax.rem(g + 1, 2)):
+                for cp in copies(na, jax.lax.rem(g + 1, 2)):
                     cp.start()
             acc[0, 0] = compute_block(slab[buf, 0], m_ref, acc[0, 0])
         elif mode == "mix":
             acc[0, 0] = mixed_block(slab[0, 0], m_ref, acc[0, 0])
         elif mode == "dynmix":
             buf = jax.lax.rem(g, 2)
-            for cp in copies(g, buf):
+            for cp in copies(ta, buf):
                 cp.wait()
 
-            @pl.when(g + 1 < NT)
+            @pl.when(g + 1 < total)
             def _():
-                for cp in copies(g + 1, jax.lax.rem(g + 1, 2)):
+                for cp in copies(na, jax.lax.rem(g + 1, 2)):
                     cp.start()
             acc[0, 0] = mixed_block(slab[buf, 0], m_ref, acc[0, 0])
         else:  # static: constant slot indices inside parity branches
             @pl.when(jax.lax.rem(g, 2) == 0)
             def _():
-                for cp in copies(g, 0):
+                for cp in copies(ta, 0):
                     cp.wait()
 
-                @pl.when(g + 1 < NT)
+                @pl.when(g + 1 < total)
                 def _():
-                    for cp in copies(g + 1, 1):
+                    for cp in copies(na, 1):
                         cp.start()
                 acc[0, 0] = compute_block(slab[0, 0], m_ref, acc[0, 0])
 
             @pl.when(jax.lax.rem(g, 2) == 1)
             def _():
-                for cp in copies(g, 1):
+                for cp in copies(ta, 1):
                     cp.wait()
 
-                @pl.when(g + 1 < NT)
+                @pl.when(g + 1 < total)
                 def _():
-                    for cp in copies(g + 1, 0):
+                    for cp in copies(na, 0):
                         cp.start()
                 acc[0, 0] = compute_block(slab[1, 0], m_ref, acc[0, 0])
 
-        @pl.when(g == NT - 1)
+        @pl.when(g == total - 1)
         def _():
             out_ref[...] = jnp.full((8, 128), acc[0, 0], jnp.float32)
 
@@ -273,7 +284,7 @@ def run_mode(mode):
     else:
         call = pl.pallas_call(
             make_kernel(mode),
-            grid=(NT,),
+            grid=(NT * REPS,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
             + [pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -295,7 +306,7 @@ def run_mode(mode):
         out = run(xa, xb, m)
     float(jnp.sum(out))
     dt = (time.perf_counter() - t0) / iters
-    nbytes = NT * 2 * 2 * ROWS * L * 4
+    nbytes = NT * REPS * 2 * 2 * ROWS * L * 4
     print(f"MODE={mode}: {dt*1e3:.3f} ms ({nbytes/dt/1e9:.0f} GB/s-equiv)",
           flush=True)
     return dt

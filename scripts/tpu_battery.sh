@@ -133,17 +133,27 @@ run wideband_svdtol_3e5 FXTPU_SVD_TOL=3e-5 -- python bench.py --config wideband
 run wideband_fast FXTPU_FFT_PRECISION=default -- python bench.py --config wideband
 
 # ---- stage-truncation attribution (FXTPU_FUSED_ABLATE; bench is pure
-# ---- timing so truncated outputs are fine) — the MFU table (§8 next #2)
+# ---- timing so truncated outputs are fine) — the MFU table (§8 next #2).
+# ---- dmapure = TRUE DMA floor (everything downstream skipped); the plain
+# ---- 'dma' stage still runs the accumulate/X machinery on raw planes;
+# ---- nox = full pipeline minus the X-stage products ('full - nox' = X).
+run flag_abl_dmapure FXTPU_FUSED_ABLATE=dmapure -- python bench.py
+run flag_abl_dmanox FXTPU_FUSED_ABLATE=dma,nox -- python bench.py
 run flag_abl_dma   FXTPU_FUSED_ABLATE=dma  -- python bench.py
 run flag_abl_fir   FXTPU_FUSED_ABLATE=fir  -- python bench.py
 run flag_abl_fft1  FXTPU_FUSED_ABLATE=fft1 -- python bench.py
+run flag_abl_nox   FXTPU_FUSED_ABLATE=nox  -- python bench.py
+run wb_abl_dmapure FXTPU_FUSED_ABLATE=dmapure -- python bench.py --config wideband
 run wb_abl_dma     FXTPU_FUSED_ABLATE=dma  -- python bench.py --config wideband
 run wb_abl_fir     FXTPU_FUSED_ABLATE=fir  -- python bench.py --config wideband
 run wb_abl_fft1    FXTPU_FUSED_ABLATE=fft1 -- python bench.py --config wideband
+run wb_abl_nox     FXTPU_FUSED_ABLATE=nox  -- python bench.py --config wideband
+run wbi8_abl_dmapure FXTPU_FUSED_ABLATE=dmapure -- python bench.py --config wideband_int8
 run wbi8_abl_dma0  FXTPU_FUSED_ABLATE=dma0 -- python bench.py --config wideband_int8
 run wbi8_abl_dma   FXTPU_FUSED_ABLATE=dma  -- python bench.py --config wideband_int8
 run wbi8_abl_fir   FXTPU_FUSED_ABLATE=fir  -- python bench.py --config wideband_int8
 run wbi8_abl_fft1  FXTPU_FUSED_ABLATE=fft1 -- python bench.py --config wideband_int8
+run wbi8_abl_nox   FXTPU_FUSED_ABLATE=nox  -- python bench.py --config wideband_int8
 
 # ---- free-text attribution probes --------------------------------------
 probe dma_overlap scripts/dma_overlap_probe.py

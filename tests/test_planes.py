@@ -731,7 +731,8 @@ def test_svd_tol_env_knob_rank_and_parity(monkeypatch):
                                         ("dmapure", False),
                                         ("dmapure", True),
                                         ("nox", False), ("nox", True),
-                                        ("dma,nox", False)])
+                                        ("dma,nox", False),
+                                        ("dmax2", False)])
 def test_fused_ablate_stages_build_and_run(monkeypatch, stage, int8):
     """FXTPU_FUSED_ABLATE truncates the kernel after a stage for on-chip
     time attribution (outputs wrong BY DESIGN — this only asserts every
@@ -948,6 +949,66 @@ def test_int8_static_slot_multi_tile_parity(monkeypatch):
     try:
         t = TestInt8NativeDeepMultiTile()
         t.test_multi_step_matches_sequential()
+    finally:
+        _STEP_CACHE.clear()
+        pfb_pallas._fx_call.clear_cache()
+
+
+def test_fused_local_halo_matches_unfused(monkeypatch):
+    """FXTPU_FUSED_LOCAL_HALO=1 carries each tile's raw tail in a VMEM
+    scratch instead of re-reading the pad halo rows from HBM (1.5x read
+    amplification at the flagship tile) — a pure DMA-schedule change, so
+    streamed multi-block output AND carried history must match the
+    unfused path bit-for-bit with the default kernel's tolerances."""
+    from jax import tree
+
+    from fxtpu.fx import _STEP_CACHE
+    from fxtpu.ops import pfb_pallas
+
+    monkeypatch.setenv("FXTPU_FUSED_LOCAL_HALO", "1")
+    _STEP_CACHE.clear()
+    pfb_pallas._fx_call.clear_cache()
+    try:
+        cfg = CorrelatorConfig(mode="SPECTRUM", num_samp=2**13, nbins=256,
+                               clamp_num_samp=False)
+        rng = np.random.default_rng(23)
+        k = 3
+        blocks = [(rng.normal(size=(2, cfg.num_samp))
+                   + 1j * rng.normal(size=(2, cfg.num_samp))
+                   ).astype(np.complex64) for _ in range(k)]
+        delays = jnp.zeros((k, 2), jnp.float32)
+        eng_u = FxEngine(cfg, fused=False)
+        eng_f = FxEngine(cfg, fused=True)
+        iq_u = tree.map(lambda *xs: jnp.stack(xs),
+                        *[eng_u.prepare_block(b) for b in blocks])
+        vu, hu = eng_u.multi_step(iq_u, delays, eng_u.fresh_history())
+        vf, hf = eng_f.multi_step(eng_f.prepare_batch(blocks),
+                                  delays, eng_f.fresh_history())
+        scale = np.abs(to_complex(vu)).max()
+        np.testing.assert_allclose(to_complex(vf), to_complex(vu),
+                                   atol=2e-5 * scale)
+        np.testing.assert_allclose(to_complex(hf), to_complex(hu),
+                                   atol=1e-6)
+    finally:
+        _STEP_CACHE.clear()
+        pfb_pallas._fx_call.clear_cache()
+
+
+def test_int8_local_halo_multi_tile_parity(monkeypatch):
+    """Local-halo tail carry on the int8-native deep-tap SVD shape with
+    K>1 and n_tiles>1: the raw previous-tile front rows now arrive from
+    the carry scratch instead of the HBM re-read, including across block
+    boundaries (the int8 raw-tail history contract)."""
+    from fxtpu.fx import _STEP_CACHE
+    from fxtpu.ops import pfb_pallas
+
+    monkeypatch.setenv("FXTPU_FUSED_LOCAL_HALO", "1")
+    _STEP_CACHE.clear()
+    pfb_pallas._fx_call.clear_cache()
+    try:
+        t = TestInt8NativeDeepMultiTile()
+        t.test_multi_step_matches_sequential()
+        t.test_streaming_chain_matches_dequantized_unfused()
     finally:
         _STEP_CACHE.clear()
         pfb_pallas._fx_call.clear_cache()
