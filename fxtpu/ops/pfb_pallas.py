@@ -339,7 +339,6 @@ SVD_FIR_MIN_TAPS = 16
 _SVD_TOL = 1e-5
 
 
-@functools.lru_cache(maxsize=32)
 def _svd_fir_factors(w_key, nbins: int, tol: float = _SVD_TOL):
     """(u [ntaps, r], v [r, nbins]) f64 with u @ v ~= w to ``tol``, or
     None when the factorization wouldn't beat the direct loop.
@@ -348,15 +347,30 @@ def _svd_fir_factors(w_key, nbins: int, tol: float = _SVD_TOL):
     the f32 pipeline's 3.1e-5 precision floor.  The int8-native path
     shares it: its accuracy floor is the 8-bit quantization itself
     (~1e-3 SNR-dependent), so a 1e-5 window perturbation is invisible
-    there."""
+    there.
+
+    FXTPU_FUSED_BANDED=1 (trace-time A/B knob) skips the min-taps and
+    full-rank gates so SHALLOW windows route through the banded MXU
+    conv at full rank (exact): the direct tap loop's shifted VPU slab
+    reads are the flagship compute wall (design.md §8h), and the band
+    moves them onto the MXU."""
+    import os as _os
+    return _svd_fir_factors_cached(
+        w_key, nbins, tol,
+        _os.environ.get("FXTPU_FUSED_BANDED", "") == "1")
+
+
+@functools.lru_cache(maxsize=32)
+def _svd_fir_factors_cached(w_key, nbins: int, tol: float, force: bool):
     w2d = np.asarray(w_key, np.float64).reshape(-1, nbins)
     ntaps = w2d.shape[0]
-    if ntaps < SVD_FIR_MIN_TAPS:
+    if ntaps < SVD_FIR_MIN_TAPS and not force:
         return None
     uu, ss, vt = np.linalg.svd(w2d, full_matrices=False)
     r = max(int(np.sum(ss > tol * ss[0])), 1)
-    if r >= ntaps:
+    if r >= ntaps and not force:
         return None  # full rank: nothing to gain
+    r = min(r, ntaps)
     return uu[:, :r] * ss[:r], vt[:r]
 
 
@@ -755,11 +769,12 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
             else:
                 plane_re = slab[buf, 0, c]
                 plane_im = slab[buf, 1, c]
-            # raw sample sums over THIS tile's own data rows only
-            sr = jnp.sum(plane_re[pad:pad + tile].astype(jnp.float32))
-            si = jnp.sum(plane_im[pad:pad + tile].astype(jnp.float32))
-            ssum = ssum + jnp.where(lane == 2 * c, sr, 0.0) \
-                + jnp.where(lane == 2 * c + 1, si, 0.0)
+            if "nosum" not in _abl:
+                # raw sample sums over THIS tile's own data rows only
+                sr = jnp.sum(plane_re[pad:pad + tile].astype(jnp.float32))
+                si = jnp.sum(plane_im[pad:pad + tile].astype(jnp.float32))
+                ssum = ssum + jnp.where(lane == 2 * c, sr, 0.0) \
+                    + jnp.where(lane == 2 * c + 1, si, 0.0)
             if "dma" in _abl:
                 spec.append((plane_re[:tile].astype(jnp.float32
                                                     ).reshape(tile, n1, n2),
@@ -826,6 +841,15 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
             # dispatches (21.8 vs 22.9 GS/s at G=4) so g1=1; at wideband
             # n1=64 the per-frame [128,128]@[128,128] dots are latency-bound
             # and grouping frames onto the lanes wins.
+            if "firflat" in _abl:
+                # FIR live, relayout skipped: downstream consumes a lane
+                # slice broadcast over n1 — 'fir minus firflat' prices
+                # the [tile, nbins] -> [tile, n1, n2] retile
+                spec.append((jnp.broadcast_to(fir_re[:, None, :n2],
+                                              (tile, n1, n2)),
+                             jnp.broadcast_to(fir_im[:, None, :n2],
+                                              (tile, n1, n2))))
+                continue
             if "fir" in _abl:
                 spec.append((fir_re.reshape(tile, n1, n2),
                              fir_im.reshape(tile, n1, n2)))
@@ -1027,7 +1051,8 @@ def _trace_env() -> tuple:
             _os.environ.get("FXTPU_FUSED_STATIC_SLOT", "") == "1",
             cfft.precision_name(),
             svd,
-            _os.environ.get("FXTPU_FUSED_LOCAL_HALO", "") == "1")
+            _os.environ.get("FXTPU_FUSED_LOCAL_HALO", "") == "1",
+            _os.environ.get("FXTPU_FUSED_BANDED", "") == "1")
 
 
 def svd_tol_active(int8: bool) -> float:
@@ -1109,7 +1134,7 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
     # _trace_env — a bare env read here would let the module-level jit
     # cache serve a stale executable after an env flip, r2 review).
     (nbuf, split_dma, static_slot, prec, svd_tol,
-     local_halo) = env_key or _trace_env()
+     local_halo, _banded) = env_key or _trace_env()
 
     # Deep-tap FIR: rank factorization -> banded-matmul inputs (see the
     # SVD-FIR block comment).  w_key is the static window fingerprint.

@@ -732,7 +732,10 @@ def test_svd_tol_env_knob_rank_and_parity(monkeypatch):
                                         ("dmapure", True),
                                         ("nox", False), ("nox", True),
                                         ("dma,nox", False),
-                                        ("dmax2", False)])
+                                        ("dmax2", False),
+                                        ("firflat", False),
+                                        ("nosum", False),
+                                        ("firflat", True)])
 def test_fused_ablate_stages_build_and_run(monkeypatch, stage, int8):
     """FXTPU_FUSED_ABLATE truncates the kernel after a stage for on-chip
     time attribution (outputs wrong BY DESIGN — this only asserts every
@@ -972,6 +975,49 @@ def test_fused_local_halo_matches_unfused(monkeypatch):
         cfg = CorrelatorConfig(mode="SPECTRUM", num_samp=2**13, nbins=256,
                                clamp_num_samp=False)
         rng = np.random.default_rng(23)
+        k = 3
+        blocks = [(rng.normal(size=(2, cfg.num_samp))
+                   + 1j * rng.normal(size=(2, cfg.num_samp))
+                   ).astype(np.complex64) for _ in range(k)]
+        delays = jnp.zeros((k, 2), jnp.float32)
+        eng_u = FxEngine(cfg, fused=False)
+        eng_f = FxEngine(cfg, fused=True)
+        iq_u = tree.map(lambda *xs: jnp.stack(xs),
+                        *[eng_u.prepare_block(b) for b in blocks])
+        vu, hu = eng_u.multi_step(iq_u, delays, eng_u.fresh_history())
+        vf, hf = eng_f.multi_step(eng_f.prepare_batch(blocks),
+                                  delays, eng_f.fresh_history())
+        scale = np.abs(to_complex(vu)).max()
+        np.testing.assert_allclose(to_complex(vf), to_complex(vu),
+                                   atol=2e-5 * scale)
+        np.testing.assert_allclose(to_complex(hf), to_complex(hu),
+                                   atol=1e-6)
+    finally:
+        _STEP_CACHE.clear()
+        pfb_pallas._fx_call.clear_cache()
+
+
+def test_fused_banded_shallow_matches_unfused(monkeypatch):
+    """FXTPU_FUSED_BANDED=1 routes SHALLOW windows through the banded
+    MXU conv at full rank — an exact reformulation of the direct tap
+    loop (design.md §8h: the tap loop's shifted VPU slab reads are the
+    flagship compute wall), so streamed multi-block output and history
+    must match the unfused path at the default tolerances."""
+    from jax import tree
+
+    from fxtpu.fx import _STEP_CACHE, _deep_svd_applies
+    from fxtpu.ops import pfb_pallas
+    from fxtpu.ops.window import pfb_window
+
+    monkeypatch.setenv("FXTPU_FUSED_BANDED", "1")
+    _STEP_CACHE.clear()
+    pfb_pallas._fx_call.clear_cache()
+    try:
+        w = pfb_window(4, 256, "hamming").reshape(4, 256)
+        assert _deep_svd_applies(w, 256)  # the knob flips the routing
+        cfg = CorrelatorConfig(mode="SPECTRUM", num_samp=2**13, nbins=256,
+                               clamp_num_samp=False)
+        rng = np.random.default_rng(31)
         k = 3
         blocks = [(rng.normal(size=(2, cfg.num_samp))
                    + 1j * rng.normal(size=(2, cfg.num_samp))
