@@ -842,13 +842,16 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
             # n1=64 the per-frame [128,128]@[128,128] dots are latency-bound
             # and grouping frames onto the lanes wins.
             if "firflat" in _abl:
-                # FIR live, relayout skipped: downstream consumes a lane
-                # slice broadcast over n1 — 'fir minus firflat' prices
-                # the [tile, nbins] -> [tile, n1, n2] retile
-                spec.append((jnp.broadcast_to(fir_re[:, None, :n2],
-                                              (tile, n1, n2)),
-                             jnp.broadcast_to(fir_im[:, None, :n2],
-                                              (tile, n1, n2))))
+                # FIR live WITHOUT the [tile, nbins] -> [tile, n1, n2]
+                # retile: consume fir through a flat reduction and skip
+                # every downstream stage for this channel (broadcast_to
+                # does not lower on hardware Mosaic).  Interpreted with
+                # dmapure: firflat - dmapure ~= the FIR cost alone;
+                # fir - firflat ~= retile + accumulate/X machinery.
+                ssum = ssum + jnp.where(
+                    lane == 2 * c, jnp.sum(fir_re), 0.0) + jnp.where(
+                    lane == 2 * c + 1, jnp.sum(fir_im), 0.0)
+                spec.append(None)
                 continue
             if "fir" in _abl:
                 spec.append((fir_re.reshape(tile, n1, n2),
