@@ -917,6 +917,20 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
 
         # ---- per-channel accumulators for the post-hoc DC correction ----------
         for c in range(nch):
+            if spec[c] is None:
+                # firflat: the FIR result was consumed through the flat
+                # reduction into ssum above; zero the spectral windows at
+                # t == 0 so outputs stay finite and skip the accumulate/X
+                # machinery (that cost is exactly what firflat isolates)
+                zero = jnp.zeros((n1, n2), jnp.float32)
+
+                @pl.when(t == 0)
+                def _(c=c):
+                    tout_ref[0, c, 0] = zero
+                    tout_ref[0, c, 1] = zero
+                    uout_ref[0, c, 0] = zero
+                    uout_ref[0, c, 1] = zero
+                continue
             cr, ci = spec[c]
             t_re = jnp.sum(cr, axis=0)
             t_im = jnp.sum(ci, axis=0)
@@ -981,7 +995,7 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
 
         # ---- X-stage: accumulate raw cross power over this tile's frames ------
         for ib, (p, q) in enumerate(pairs):
-            if "nox" in _abl:
+            if "nox" in _abl or spec[p] is None:
                 # skip the per-pair products/reduces; tout above already
                 # keeps every frame's FFT live, so 'full - nox' exposes
                 # exactly the X-stage cost

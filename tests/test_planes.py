@@ -735,6 +735,7 @@ def test_svd_tol_env_knob_rank_and_parity(monkeypatch):
                                         ("dmax2", False),
                                         ("firflat", False),
                                         ("nosum", False),
+                                        ("nosum", True),
                                         ("firflat", True)])
 def test_fused_ablate_stages_build_and_run(monkeypatch, stage, int8):
     """FXTPU_FUSED_ABLATE truncates the kernel after a stage for on-chip
