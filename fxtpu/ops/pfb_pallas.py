@@ -461,7 +461,7 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                svd_r: int = 0, g1: int = 1, int8_in: bool = False,
                nbuf: int = 2, split_dma: bool = False,
                static_slot: bool = False, one_pass: bool = False,
-               xtra: int = 0, local_halo: bool = False):
+               xtra: int = 0, local_halo: bool = False, rs: int = 1):
     """Grid (K, n_tiles), sequential.  Per program: DMA one slab of PFB
     rows (double-buffered, prefetching the NEXT program's slab), FIR,
     transpose-free 2-stage split-bf16 FFT, and accumulate per block.
@@ -578,25 +578,29 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
         if xtra:
             # clamp so the widened read stays in bounds (timing-only)
             raw = jnp.minimum(raw, k_blocks * s_rows - (head + tile + xtra))
-        start = pl.multiple_of(raw, 8)
-        dst0 = pad - head
+        # rs > 1 = PRETILED layout: every sample row is n1 physical
+        # [*, n2] sub-rows (same HBM bytes — see _fx_call); row indices
+        # scale, contiguity is untouched
+        start = pl.multiple_of(raw * rs, 8)
+        span = (head + tile + xtra) * rs
+        dst0 = (pad - head) * rs
         if split_dma:
             return [
                 pltpu.make_async_copy(
                     (xre_ref if p == 0 else xim_ref
-                     ).at[c, pl.ds(start, head + tile + xtra)],
-                    slab.at[slot, p, c, pl.ds(dst0, head + tile + xtra)],
+                     ).at[c, pl.ds(start, span)],
+                    slab.at[slot, p, c, pl.ds(dst0, span)],
                     sems.at[slot, 2 * c + p])
                 for c in range(nch) for p in range(2)
             ]
         return [
             pltpu.make_async_copy(
-                xre_ref.at[:, pl.ds(start, head + tile + xtra)],
-                slab.at[slot, 0, :, pl.ds(dst0, head + tile + xtra)],
+                xre_ref.at[:, pl.ds(start, span)],
+                slab.at[slot, 0, :, pl.ds(dst0, span)],
                 sems.at[slot, 0]),
             pltpu.make_async_copy(
-                xim_ref.at[:, pl.ds(start, head + tile + xtra)],
-                slab.at[slot, 1, :, pl.ds(dst0, head + tile + xtra)],
+                xim_ref.at[:, pl.ds(start, span)],
+                slab.at[slot, 1, :, pl.ds(dst0, span)],
                 sems.at[slot, 1]),
         ]
 
@@ -606,18 +610,21 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
         if split_dma:
             return [
                 pltpu.make_async_copy(
-                    (xre_ref if p == 0 else xim_ref).at[c, pl.ds(0, tile)],
-                    slab.at[slot, p, c, pl.ds(pad, tile)],
+                    (xre_ref if p == 0 else xim_ref
+                     ).at[c, pl.ds(0, tile * rs)],
+                    slab.at[slot, p, c, pl.ds(pad * rs, tile * rs)],
                     sems.at[slot, 2 * c + p])
                 for c in range(nch) for p in range(2)
             ]
         return [
             pltpu.make_async_copy(
-                xre_ref.at[:, pl.ds(0, tile)],
-                slab.at[slot, 0, :, pl.ds(pad, tile)], sems.at[slot, 0]),
+                xre_ref.at[:, pl.ds(0, tile * rs)],
+                slab.at[slot, 0, :, pl.ds(pad * rs, tile * rs)],
+                sems.at[slot, 0]),
             pltpu.make_async_copy(
-                xim_ref.at[:, pl.ds(0, tile)],
-                slab.at[slot, 1, :, pl.ds(pad, tile)], sems.at[slot, 1]),
+                xim_ref.at[:, pl.ds(0, tile * rs)],
+                slab.at[slot, 1, :, pl.ds(pad * rs, tile * rs)],
+                sems.at[slot, 1]),
         ]
 
     # ---- DMA: wait for this program's slab; prefetch the next one --------
@@ -627,7 +634,7 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
             # stream history: raw packed tail straight into the slab front
             # (hist arrives [2, nch, pad, lanes] — plane-outermost, same
             # as the slab)
-            cph = pltpu.make_async_copy(hist_ref, slab.at[0, :, :, :pad],
+            cph = pltpu.make_async_copy(hist_ref, slab.at[0, :, :, :pad * rs],
                                         sems.at[0, 2 * nch])
         else:
             cph = pltpu.make_async_copy(hist_ref, hist_s,
@@ -678,8 +685,10 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
             # touch the DATA region only — the g == 0 tile's front pad
             # rows are never written (uninitialized VMEM is NaN under
             # interpret mode, and the smoke test asserts finiteness)
-            ts0 = jnp.sum(slab[buf, 0, 0][pad:pad + 8].astype(jnp.float32))
-            ts1 = jnp.sum(slab[buf, 1, 0][pad:pad + 8].astype(jnp.float32))
+            ts0 = jnp.sum(slab[buf, 0, 0][pad * rs:pad * rs + 8]
+                          .astype(jnp.float32))
+            ts1 = jnp.sum(slab[buf, 1, 0][pad * rs:pad * rs + 8]
+                          .astype(jnp.float32))
             zero = jnp.zeros((n1, n2), jnp.float32)
 
             @pl.when(t == 0)
@@ -712,32 +721,32 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                 @pl.when(g > 0)
                 def _():
                     for c in range(nch):
-                        slab[buf, 0, c, :pad] = tail_s[c, 0]
-                        slab[buf, 1, c, :pad] = tail_s[c, 1]
+                        slab[buf, 0, c, :pad * rs] = tail_s[c, 0]
+                        slab[buf, 1, c, :pad * rs] = tail_s[c, 1]
             else:
                 @pl.when(t == 0)
                 def _():
                     for c in range(nch):
-                        slab[buf, 0, c, :pad] = hist_s[c, 0]
-                        slab[buf, 1, c, :pad] = hist_s[c, 1]
+                        slab[buf, 0, c, :pad * rs] = hist_s[c, 0]
+                        slab[buf, 1, c, :pad * rs] = hist_s[c, 1]
 
                 @pl.when(t != 0)
                 def _():
                     for c in range(nch):
-                        slab[buf, 0, c, :pad] = tail_s[c, 0]
-                        slab[buf, 1, c, :pad] = tail_s[c, 1]
+                        slab[buf, 0, c, :pad * rs] = tail_s[c, 0]
+                        slab[buf, 1, c, :pad * rs] = tail_s[c, 1]
             # save THIS tile's raw tail for the next tile's front (reads
             # the just-DMA'd data region, so any position in the tile
             # works; doing it here keeps the carry obviously ordered)
             for c in range(nch):
-                tail_s[c, 0] = slab[buf, 0, c, tile:tile + pad]
-                tail_s[c, 1] = slab[buf, 1, c, tile:tile + pad]
+                tail_s[c, 0] = slab[buf, 0, c, tile * rs:(tile + pad) * rs]
+                tail_s[c, 1] = slab[buf, 1, c, tile * rs:(tile + pad) * rs]
         elif not int8_in:
             @pl.when(t == 0)
             def _():
                 for c in range(nch):
-                    slab[buf, 0, c, :pad] = hist_s[c, 0]
-                    slab[buf, 1, c, :pad] = hist_s[c, 1]
+                    slab[buf, 0, c, :pad * rs] = hist_s[c, 0]
+                    slab[buf, 1, c, :pad * rs] = hist_s[c, 1]
 
         # ---- FIR + FFT per channel (raw — DC handled post-hoc) ----------------
         off = pad - halo
@@ -756,8 +765,8 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                 flat = q.reshape(tile, nb // 4)
                 z = jnp.zeros((tile, nb - nb // 4), jnp.float32)
                 spec.append((
-                    jnp.concatenate([flat, z], 1).reshape(tile, n1, n2),
-                    jnp.concatenate([z, flat], 1).reshape(tile, n1, n2)))
+                    jnp.concatenate([flat, z], 1).reshape(tile * n1, n2),
+                    jnp.concatenate([z, flat], 1).reshape(tile * n1, n2)))
                 continue
             if int8_in:
                 # packed int32 words (4 bins each): one unpack per plane.
@@ -771,15 +780,18 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                 plane_im = slab[buf, 1, c]
             if "nosum" not in _abl:
                 # raw sample sums over THIS tile's own data rows only
-                sr = jnp.sum(plane_re[pad:pad + tile].astype(jnp.float32))
-                si = jnp.sum(plane_im[pad:pad + tile].astype(jnp.float32))
+                sr = jnp.sum(plane_re[pad * rs:(pad + tile) * rs]
+                             .astype(jnp.float32))
+                si = jnp.sum(plane_im[pad * rs:(pad + tile) * rs]
+                             .astype(jnp.float32))
                 ssum = ssum + jnp.where(lane == 2 * c, sr, 0.0) \
                     + jnp.where(lane == 2 * c + 1, si, 0.0)
             if "dma" in _abl:
-                spec.append((plane_re[:tile].astype(jnp.float32
-                                                    ).reshape(tile, n1, n2),
-                             plane_im[:tile].astype(jnp.float32
-                                                    ).reshape(tile, n1, n2)))
+                spec.append((
+                    plane_re[:tile * rs].astype(jnp.float32
+                                                ).reshape(tile * n1, n2),
+                    plane_im[:tile * rs].astype(jnp.float32
+                                                ).reshape(tile * n1, n2)))
                 continue
             if svd_r:
                 # banded MXU matmul + r pointwise v-combines (SVD-FIR), in
@@ -825,13 +837,16 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                 # direct tap loop.  int8 mode: the plane arrives unpacked as
                 # exact f32 (dequant scale pre-folded into w_ref), then the
                 # identical loop.
-                fir_re = w_ref[0] * plane_re[off:off + tile]
-                fir_im = w_ref[0] * plane_im[off:off + tile]
+                # rs > 1 (pretiled): every tap slice starts at a multiple
+                # of n1 >= 8 sublanes — aligned, no per-tap rotates — and
+                # w_ref arrives pre-tiled [ntaps, tile*n1, n2] so the
+                # multiply needs no broadcast relayout either
+                fir_re = w_ref[0] * plane_re[off * rs:(off + tile) * rs]
+                fir_im = w_ref[0] * plane_im[off * rs:(off + tile) * rs]
                 for tap in range(1, ntaps):
-                    fir_re = fir_re + w_ref[tap] * plane_re[off + tap:
-                                                            off + tap + tile]
-                    fir_im = fir_im + w_ref[tap] * plane_im[off + tap:
-                                                            off + tap + tile]
+                    o = (off + tap) * rs
+                    fir_re = fir_re + w_ref[tap] * plane_re[o:o + tile * rs]
+                    fir_im = fir_im + w_ref[tap] * plane_im[o:o + tile * rs]
             # stage 1 contracts the major digit i1 over the row axis with a
             # LEFT matmul per FRAME GROUP — NO transposes anywhere:
             #   [re(k1); im(k1)] = [[C1,-S1],[S1,C1]] @ [xr(i1); xi(i1)]
@@ -854,19 +869,29 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                 spec.append(None)
                 continue
             if "fir" in _abl:
-                spec.append((fir_re.reshape(tile, n1, n2),
-                             fir_im.reshape(tile, n1, n2)))
+                spec.append((fir_re.reshape(tile * n1, n2),
+                             fir_im.reshape(tile * n1, n2)))
                 continue
-            f3r = fir_re.reshape(tile, n1, n2)
-            f3i = fir_im.reshape(tile, n1, n2)
+            # frame-major [tile*n1, n2] working layout for both FFT
+            # stages.  rs > 1 (pretiled): fir_re ALREADY has this shape —
+            # the reshape is a no-op and the old [tile, nbins] ->
+            # [tile, n1, n2] lane->sublane retile (the measured flagship
+            # VPU wall, design.md §8i) never happens; rs == 1 pays it
+            # here exactly as before.
+            f2r = fir_re.reshape(tile * n1, n2)
+            f2i = fir_im.reshape(tile * n1, n2)
             brs, bis = [], []
             for base in range(0, tile, g1):
                 if g1 == 1:
-                    x2 = jnp.concatenate([f3r[base], f3i[base]], axis=0)
+                    x2 = jnp.concatenate(
+                        [f2r[base * n1:(base + 1) * n1],
+                         f2i[base * n1:(base + 1) * n1]], axis=0)
                 else:
                     x2 = jnp.concatenate(
-                        [jnp.concatenate([f3r[base + fg], f3i[base + fg]],
-                                         axis=0) for fg in range(g1)],
+                        [jnp.concatenate(
+                            [f2r[(base + fg) * n1:(base + fg + 1) * n1],
+                             f2i[(base + fg) * n1:(base + fg + 1) * n1]],
+                            axis=0) for fg in range(g1)],
                         axis=1)                       # [2n1, g1*n2]
                 if one_pass:
                     a = jnp.dot(m1h_ref[:], x2.astype(jnp.bfloat16), **kw)
@@ -892,8 +917,8 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
             # the extra VPU add/subs ride under the MXU.  m2h/m2l arrive
             # stacked [3, n2, n2] (hi/lo splits of C2, C2+S2, S2-C2).
             if "fft1" in _abl:
-                spec.append((jnp.concatenate(brs, 0).reshape(tile, n1, n2),
-                             jnp.concatenate(bis, 0).reshape(tile, n1, n2)))
+                spec.append((jnp.concatenate(brs, 0),
+                             jnp.concatenate(bis, 0)))
                 continue
             br2 = jnp.concatenate(brs, axis=0)   # [tile*n1 (k1-rows), n2 (i2)]
             bi2 = jnp.concatenate(bis, axis=0)
@@ -909,10 +934,11 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                 k1 = _dot3(sh, sl, m2h_ref[0], m2l_ref[0])
                 k2 = _dot3(bih, bil, m2h_ref[1], m2l_ref[1])
                 k3 = _dot3(brh, brl, m2h_ref[2], m2l_ref[2])
-            cr = (k1 - k2).reshape(tile, n1, n2)
-            ci = (k1 + k3).reshape(tile, n1, n2)
-            # spectra [tile, k1, k2]; bin index = k1 + n1*k2 (permuted — the
-            # tiny integrated visibility is gathered to natural order outside)
+            cr = k1 - k2
+            ci = k1 + k3
+            # spectra [tile*n1(k1-major), n2(k2)]; bin = k1 + n1*k2
+            # (permuted — the tiny integrated visibility is gathered to
+            # natural order outside)
             spec.append((cr, ci))
 
         # ---- per-channel accumulators for the post-hoc DC correction ----------
@@ -932,8 +958,10 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                     uout_ref[0, c, 1] = zero
                 continue
             cr, ci = spec[c]
-            t_re = jnp.sum(cr, axis=0)
-            t_im = jnp.sum(ci, axis=0)
+            # frame reduce: [tile*n1, n2] -> [tile, n1, n2] is a sublane
+            # SPLIT (lane dim untouched) — free, unlike the old retile
+            t_re = jnp.sum(cr.reshape(tile, n1, n2), axis=0)
+            t_im = jnp.sum(ci.reshape(tile, n1, n2), axis=0)
 
             @pl.when(t == 0)
             def _(c=c, t_re=t_re, t_im=t_im, cr=cr, ci=ci):
@@ -942,10 +970,13 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                 # first ntaps-1 frames (the only ones whose FIR reaches into
                 # the stream history), contracted against conj(dA) in place:
                 # GJ = sum_j (cr_j + i ci_j)(dAre_j - i dAim_j)
+                # (dare/daim arrive flattened [halo*n1, n2])
                 uout_ref[0, c, 0] = jnp.sum(
-                    cr[:halo] * dare_ref[:] + ci[:halo] * daim_ref[:], axis=0)
+                    (cr[:halo * n1] * dare_ref[:] + ci[:halo * n1]
+                     * daim_ref[:]).reshape(halo, n1, n2), axis=0)
                 uout_ref[0, c, 1] = jnp.sum(
-                    ci[:halo] * dare_ref[:] - cr[:halo] * daim_ref[:], axis=0)
+                    (ci[:halo * n1] * dare_ref[:] - cr[:halo * n1]
+                     * daim_ref[:]).reshape(halo, n1, n2), axis=0)
 
             @pl.when(t != 0)
             def _(c=c, t_re=t_re, t_im=t_im):
@@ -982,12 +1013,14 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                                     ) * inv_n
                     mu_im = jnp.sum(jnp.where(lane2 == 2 * c + 1,
                                               sums_s[...], 0.0)) * inv_n
-                    hist_s[c, 0, pad - halo:] = (
+                    hist_s[c, 0, (pad - halo) * rs:] = (
                         slab[buf, 0, c,
-                             pad + tile - halo:pad + tile] - mu_re)
-                    hist_s[c, 1, pad - halo:] = (
+                             (pad + tile - halo) * rs:(pad + tile) * rs]
+                        - mu_re)
+                    hist_s[c, 1, (pad - halo) * rs:] = (
                         slab[buf, 1, c,
-                             pad + tile - halo:pad + tile] - mu_im)
+                             (pad + tile - halo) * rs:(pad + tile) * rs]
+                        - mu_im)
 
             @pl.when((k == k_blocks - 1) & (t == n_tiles - 1))
             def _():
@@ -1006,8 +1039,10 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                 continue
             pr, pi = spec[p]
             qr, qi = spec[q]
-            acc_re = jnp.sum(pr * qr + pi * qi, axis=0)   # [n1, n2]
-            acc_im = jnp.sum(pi * qr - pr * qi, axis=0)
+            acc_re = jnp.sum((pr * qr + pi * qi).reshape(tile, n1, n2),
+                             axis=0)                      # [n1, n2]
+            acc_im = jnp.sum((pi * qr - pr * qi).reshape(tile, n1, n2),
+                             axis=0)
 
             @pl.when(t == 0)
             def _(ib=ib, acc_re=acc_re, acc_im=acc_im):
@@ -1144,6 +1179,9 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
     a_j_np = np.stack([np.fft.fft(w2d64[ntaps - 1 - j:].sum(axis=0))
                        for j in range(halo)])
     da_np = (a_j_np - abar_np).reshape(halo, n2, n1).transpose(0, 2, 1)
+    # flattened frame-major [halo*n1, n2] — the kernel's uniform 2-D
+    # working layout (see _fx_kernel's spec representation)
+    da_np = np.ascontiguousarray(da_np).reshape(halo * n1, n2)
     dare = jnp.asarray(np.ascontiguousarray(da_np.real.astype(np.float32)))
     daim = jnp.asarray(np.ascontiguousarray(da_np.imag.astype(np.float32)))
 
@@ -1179,12 +1217,35 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
     # int8 + direct tap loop: the dequant scale folds into the window
     w_in = w2d * quant_step if (int8_in and not svd_r) else w2d
 
+    # PRETILED layout (direct-tap f32 shapes with n1 a sublane multiple):
+    # reinterpret every sample row as its n1 x n2 frame tile.
+    # [R, nbins] row-major IS [R*n1, n2] row-major, so the reshapes
+    # below are free bitcasts — but inside the kernel the FIR tap slices
+    # become n1-aligned and the [tile, nbins] -> [tile, n1, n2]
+    # lane->sublane retile (the measured flagship VPU wall — r5
+    # firflat/dmapure ablation, design.md §8i) disappears: the FIR
+    # output is ALREADY in the FFT stages' frame-major [tile*n1, n2]
+    # working layout.  int8 stays on the legacy layout: its packed
+    # words interleave bin-QUARTERS across the whole sample row
+    # (pack_int8_planes), which a row reinterpret would scramble.
+    pretiled = svd_r == 0 and not int8_in and n1 % 8 == 0
+    rs = n1 if pretiled else 1
+    if pretiled:
+        x_re = x_re.reshape(nch, rows_total * n1, n2)
+        x_im = x_im.reshape(nch, rows_total * n1, n2)
+        hist_stacked = hist_stacked.reshape(nch, 2, pad * n1, n2)
+        # window pre-tiled per frame -> the FIR multiply needs no
+        # broadcast relayout (one tiny device tile per traced call)
+        w_in = jnp.tile(w_in.reshape(ntaps, 1, n1, n2),
+                        (1, tile, 1, 1)).reshape(ntaps, tile * n1, n2)
+
     slab_dtype = jnp.int32 if int8_in else jnp.float32
     # int8 mode: the slab holds PACKED words — 4x fewer lanes
-    nb_lanes = nbins // 4 if int8_in else nbins
+    nb_lanes = n2 if pretiled else (nbins // 4 if int8_in else nbins)
     # int8 mode never touches hist_s / hout: dummy-sized to keep the
     # kernel's positional ref plumbing uniform
-    hist_shape = (1, 1, 8, 128) if int8_in else (nch, 2, pad, nbins)
+    hist_shape = ((1, 1, 8, 128) if int8_in
+                  else (nch, 2, pad * rs, nb_lanes))
 
     # (env knobs unpacked above, before the SVD routing)
     # The fused kernel honors the SAME precision knob as the XLA path
@@ -1207,14 +1268,14 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
             stacklevel=2)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_fx_kernel, tile=tile, ntaps=ntaps,
                           n1=n1, n2=n2, n_tiles=s_rows // tile, nch=nch,
                           k_blocks=k_blocks, pairs=pairs_t, svd_r=svd_r,
                           g1=g1, int8_in=int8_in, nbuf=nbuf,
                           split_dma=split_dma, static_slot=static_slot,
                           one_pass=one_pass, xtra=xtra,
-                          local_halo=local_halo),
+                          local_halo=local_halo, rs=rs),
         grid=(k_blocks, s_rows // tile),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),    # x re (manual DMA)
@@ -1247,12 +1308,13 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
             jax.ShapeDtypeStruct(hist_shape, jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, 2, nch, tile + _halo_pad(ntaps) + xtra,
+            pltpu.VMEM((nbuf, 2, nch,
+                        (tile + _halo_pad(ntaps) + xtra) * rs,
                         nb_lanes), slab_dtype),
             pltpu.VMEM(hist_shape, jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
             # raw interior tail carry (FXTPU_FUSED_LOCAL_HALO); tiny
-            pltpu.VMEM((nch, 2, pad, nb_lanes), slab_dtype),
+            pltpu.VMEM((nch, 2, pad * rs, nb_lanes), slab_dtype),
             pltpu.SemaphoreType.DMA((nbuf, 2 * nch + 2)),
         ],
         # deep-tap/wideband shapes need a bigger slab than the 16 MB
@@ -1264,6 +1326,12 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
       jnp.asarray(np.ascontiguousarray(twc)),
       jnp.asarray(np.ascontiguousarray(tws)), m2h, m2l, dare, daim,
       *svd_inputs)
+    if pretiled:
+        # restore the caller-visible [nch, 2, pad, nbins] history layout
+        # (a free bitcast — same bytes, see the pretiled note above)
+        out, tsum, ufr, ssum, hist_out = outs
+        return out, tsum, ufr, ssum, hist_out.reshape(nch, 2, pad, nbins)
+    return outs
 
 
 def _fx_perm(nbins: int) -> np.ndarray:

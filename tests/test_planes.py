@@ -1175,3 +1175,55 @@ def test_fused_step_shape_sweep(nbins, ntaps, frames, nch):
         scale = np.abs(cu).max()
         np.testing.assert_allclose(cf, cu, atol=5e-5 * scale,
                                    err_msg=f"block {i}")
+
+
+def test_pretiled_layout_multi_tile_matches_unfused():
+    """The PRETILED slab layout (direct-tap f32 with n1 % 8 == 0 —
+    design.md §8i) reinterprets every sample row as its n1 x n2 frame
+    tile so the kernel never pays the [tile, nbins] -> [tile, n1, n2]
+    lane->sublane retile.  Pure layout change: streamed multi-block
+    output and carried history must match the unfused path.  nbins=1024
+    (n1=8) with n_tiles > 1 exercises the scaled halo/tail bookkeeping
+    the incidental shape-sweep case (n_tiles=1) does not."""
+    from jax import tree
+
+    from fxtpu.ops.pfb_pallas import _kernel_factor
+    n1, n2 = _kernel_factor(1024)
+    assert n1 % 8 == 0 and n2 == 128  # the pretiled gate engages
+
+    cfg = CorrelatorConfig(mode="SPECTRUM", num_samp=2**15, nbins=1024,
+                           ntaps=4, clamp_num_samp=False)
+    rng = np.random.default_rng(47)
+    k = 3
+    blocks = [(rng.normal(size=(2, cfg.num_samp))
+               + 1j * rng.normal(size=(2, cfg.num_samp))
+               ).astype(np.complex64) for _ in range(k)]
+    delays = jnp.tile(jnp.asarray([[0.0, 3.3e-7]], jnp.float32), (k, 1))
+    eng_u = FxEngine(cfg, fused=False)
+    eng_f = FxEngine(cfg, fused=True)
+    iq_u = tree.map(lambda *xs: jnp.stack(xs),
+                    *[eng_u.prepare_block(b) for b in blocks])
+    vu, hu = eng_u.multi_step(iq_u, delays, eng_u.fresh_history())
+    vf, hf = eng_f.multi_step(eng_f.prepare_batch(blocks),
+                              delays, eng_f.fresh_history())
+    scale = np.abs(to_complex(vu)).max()
+    np.testing.assert_allclose(to_complex(vf), to_complex(vu),
+                               atol=2e-5 * scale)
+    np.testing.assert_allclose(to_complex(hf), to_complex(hu), atol=1e-6)
+
+
+def test_pretiled_local_halo_matches_unfused(monkeypatch):
+    """Pretiled layout x FXTPU_FUSED_LOCAL_HALO: the tail-carry scratch
+    rows scale by n1 too (the two features compose in the DMA front
+    fill)."""
+    from fxtpu.fx import _STEP_CACHE
+    from fxtpu.ops import pfb_pallas
+
+    monkeypatch.setenv("FXTPU_FUSED_LOCAL_HALO", "1")
+    _STEP_CACHE.clear()
+    pfb_pallas._fx_call.clear_cache()
+    try:
+        test_pretiled_layout_multi_tile_matches_unfused()
+    finally:
+        _STEP_CACHE.clear()
+        pfb_pallas._fx_call.clear_cache()
