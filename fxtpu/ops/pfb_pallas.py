@@ -1104,7 +1104,11 @@ def _trace_env() -> tuple:
             cfft.precision_name(),
             svd,
             _os.environ.get("FXTPU_FUSED_LOCAL_HALO", "") == "1",
-            _os.environ.get("FXTPU_FUSED_BANDED", "") == "1")
+            _os.environ.get("FXTPU_FUSED_BANDED", "") == "1",
+            # pretiled slab layout (design.md §8i): default ON where it
+            # applies (direct-tap f32, n1 % 8 == 0); "0" forces the
+            # legacy [rows, nbins]-lane layout for A/Bs
+            _os.environ.get("FXTPU_FUSED_PRETILED", "") != "0")
 
 
 def svd_tol_active(int8: bool) -> float:
@@ -1189,7 +1193,7 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
     # _trace_env — a bare env read here would let the module-level jit
     # cache serve a stale executable after an env flip, r2 review).
     (nbuf, split_dma, static_slot, prec, svd_tol,
-     local_halo, _banded) = env_key or _trace_env()
+     local_halo, _banded, pretiled_ok) = env_key or _trace_env()
 
     # Deep-tap FIR: rank factorization -> banded-matmul inputs (see the
     # SVD-FIR block comment).  w_key is the static window fingerprint.
@@ -1228,7 +1232,7 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
     # working layout.  int8 stays on the legacy layout: its packed
     # words interleave bin-QUARTERS across the whole sample row
     # (pack_int8_planes), which a row reinterpret would scramble.
-    pretiled = svd_r == 0 and not int8_in and n1 % 8 == 0
+    pretiled = pretiled_ok and svd_r == 0 and not int8_in and n1 % 8 == 0
     rs = n1 if pretiled else 1
     if pretiled:
         x_re = x_re.reshape(nch, rows_total * n1, n2)

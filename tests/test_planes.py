@@ -1227,3 +1227,25 @@ def test_pretiled_local_halo_matches_unfused(monkeypatch):
     finally:
         _STEP_CACHE.clear()
         pfb_pallas._fx_call.clear_cache()
+
+
+def test_pretiled_knob_forces_legacy_layout(monkeypatch):
+    """FXTPU_FUSED_PRETILED=0 routes the same direct-tap f32 shape
+    through the LEGACY [rows, nbins]-lane slab layout (the A/B lever for
+    design.md §8i) and the numbers still match the unfused oracle —
+    i.e. the knob really flips the layout without changing results, and
+    _trace_env keys the caches so no manual clearing is needed by
+    library users (only the suite's cross-test hygiene below)."""
+    from fxtpu.fx import _STEP_CACHE
+    from fxtpu.ops import pfb_pallas
+
+    assert pfb_pallas._trace_env()[-1] is True  # default: pretiled on
+    monkeypatch.setenv("FXTPU_FUSED_PRETILED", "0")
+    assert pfb_pallas._trace_env()[-1] is False
+    _STEP_CACHE.clear()
+    pfb_pallas._fx_call.clear_cache()
+    try:
+        test_pretiled_layout_multi_tile_matches_unfused()
+    finally:
+        _STEP_CACHE.clear()
+        pfb_pallas._fx_call.clear_cache()
