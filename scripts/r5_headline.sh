@@ -1,16 +1,14 @@
 #!/bin/bash
-# r5 battery #4: PRETILED ablation ladder (design.md §8i).
+# r5 battery #5: final headline capture at ROUND-5 DEFAULTS.
 #
-# The pretiled slab layout deletes the legacy [tile, nbins] ->
-# [tile, n1, n2] retile (the measured ~3.3 ps VPU wall) yet its first
-# hardware base leg came in 21% BELOW the legacy flagship.  This
-# ladder repeats the §8h stage-truncation decomposition UNDER the
-# pretiled layout so the regressed stage is localized by diffing the
-# two ladders (legacy ladder: scripts/r5_ab_battery.sh l_abl_*).
+# Run after the pretiled default lands (design.md §8i): every config at
+# stock settings, same session, including the first hardware number for
+# the 8-input/36-baseline Gram-matmul config (nchan8 — added to
+# tpu_battery.sh after the r4 capture, so it has never been measured).
 # Same resumable JSON-log contract as tpu_battery.sh.
 set -u
 cd "$(dirname "$0")/.."
-LOG="${1:-bench_results/r5_pretiled_ablate.jsonl}"
+LOG="${1:-bench_results/r5_headline.jsonl}"
 mkdir -p "$(dirname "$LOG")"
 touch "$LOG"
 
@@ -60,14 +58,10 @@ PYEOF
   fi
 }
 
-# pretiled stage-truncation ladder (knob explicit so the legs stay
-# correct whichever way the default lands after the A/B)
-run p_abl_dmapure FXTPU_FUSED_PRETILED=1 FXTPU_FUSED_ABLATE=dmapure -- python bench.py
-run p_abl_firflat FXTPU_FUSED_PRETILED=1 FXTPU_FUSED_ABLATE=firflat -- python bench.py
-run p_abl_fir     FXTPU_FUSED_PRETILED=1 FXTPU_FUSED_ABLATE=fir     -- python bench.py
-run p_abl_fft1    FXTPU_FUSED_PRETILED=1 FXTPU_FUSED_ABLATE=fft1    -- python bench.py
-run p_abl_nox     FXTPU_FUSED_PRETILED=1 FXTPU_FUSED_ABLATE=nox     -- python bench.py
-# weather anchor: repeat the full pretiled step inside this session
-run p_base4       FXTPU_FUSED_PRETILED=1 -- python bench.py
+run flagship       -- python bench.py
+run flagship_int8  -- python bench.py --config default_int8
+run wideband       -- python bench.py --config wideband
+run wideband_int8  -- python bench.py --config wideband_int8
+run nchan8         -- python bench.py --config nchan8
 
-echo "=== r5 pretiled ablate battery done === $(date -u +%FT%TZ)"
+echo "=== r5 headline battery done === $(date -u +%FT%TZ)"
