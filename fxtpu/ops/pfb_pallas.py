@@ -578,9 +578,9 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
         if xtra:
             # clamp so the widened read stays in bounds (timing-only)
             raw = jnp.minimum(raw, k_blocks * s_rows - (head + tile + xtra))
-        # rs > 1 = PRETILED layout: every sample row is n1 physical
-        # [*, n2] sub-rows (same HBM bytes — see _fx_call); row indices
-        # scale, contiguity is untouched
+        # rs > 1 = PRETILED layout: every sample row is rs physical
+        # [*, nbins/rs] sub-rows (same HBM bytes — see _fx_call); row
+        # indices scale, contiguity is untouched
         start = pl.multiple_of(raw * rs, 8)
         span = (head + tile + xtra) * rs
         dst0 = (pad - head) * rs
@@ -838,9 +838,9 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                 # exact f32 (dequant scale pre-folded into w_ref), then the
                 # identical loop.
                 # rs > 1 (pretiled): every tap slice starts at a multiple
-                # of n1 >= 8 sublanes — aligned, no per-tap rotates — and
-                # w_ref arrives pre-tiled [ntaps, tile*n1, n2] so the
-                # multiply needs no broadcast relayout either
+                # of rs >= 8 sublanes — aligned, no per-tap rotates — and
+                # w_ref arrives pre-tiled [ntaps, tile*rs, nbins/rs] so
+                # the multiply needs no broadcast relayout either
                 fir_re = w_ref[0] * plane_re[off * rs:(off + tile) * rs]
                 fir_im = w_ref[0] * plane_im[off * rs:(off + tile) * rs]
                 for tap in range(1, ntaps):
@@ -873,11 +873,13 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                              fir_im.reshape(tile * n1, n2)))
                 continue
             # frame-major [tile*n1, n2] working layout for both FFT
-            # stages.  rs > 1 (pretiled): fir_re ALREADY has this shape —
-            # the reshape is a no-op and the old [tile, nbins] ->
+            # stages.  rs == n1 (full pretile): fir_re ALREADY has this
+            # shape — the reshape is a no-op and the old [tile, nbins] ->
             # [tile, n1, n2] lane->sublane retile (the measured flagship
-            # VPU wall, design.md §8i) never happens; rs == 1 pays it
-            # here exactly as before.
+            # VPU wall, design.md §8i) never happens.  8 <= rs < n1
+            # (FXTPU_FUSED_RS): an n1/rs-way split, proportionally
+            # cheaper than the legacy n1-way; rs == 1 pays the full
+            # retile here exactly as before.
             f2r = fir_re.reshape(tile * n1, n2)
             f2i = fir_im.reshape(tile * n1, n2)
             brs, bis = [], []
@@ -1108,7 +1110,14 @@ def _trace_env() -> tuple:
             # pretiled slab layout (design.md §8i): default ON where it
             # applies (direct-tap f32, n1 % 8 == 0); "0" forces the
             # legacy [rows, nbins]-lane layout for A/Bs
-            _os.environ.get("FXTPU_FUSED_PRETILED", "") != "0")
+            _os.environ.get("FXTPU_FUSED_PRETILED", "") != "0",
+            # pretile ASPECT: rows per sample row (8 <= rs <= n1, rs | n1).
+            # 0 = full pretile (rs = n1, lanes = n2).  Intermediate values
+            # trade DMA row width against retile depth: the full pretile's
+            # 128-lane rows DMA at ~half the wide-slab rate (§8i), while
+            # rs = 8 keeps 512-lane rows and pays only an n1/8-way
+            # lane->sublane split before the FFT stages
+            int(_os.environ.get("FXTPU_FUSED_RS", "0") or 0))
 
 
 def svd_tol_active(int8: bool) -> float:
@@ -1193,7 +1202,7 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
     # _trace_env — a bare env read here would let the module-level jit
     # cache serve a stale executable after an env flip, r2 review).
     (nbuf, split_dma, static_slot, prec, svd_tol,
-     local_halo, _banded, pretiled_ok) = env_key or _trace_env()
+     local_halo, _banded, pretiled_ok, rs_env) = env_key or _trace_env()
 
     # Deep-tap FIR: rank factorization -> banded-matmul inputs (see the
     # SVD-FIR block comment).  w_key is the static window fingerprint.
@@ -1234,18 +1243,29 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
     # (pack_int8_planes), which a row reinterpret would scramble.
     pretiled = pretiled_ok and svd_r == 0 and not int8_in and n1 % 8 == 0
     rs = n1 if pretiled else 1
+    if pretiled and rs_env:
+        # intermediate aspect (FXTPU_FUSED_RS): wider DMA rows, with the
+        # remaining n1/rs-way lane->sublane split paid at the FFT-input
+        # reshape inside the kernel instead of the full legacy retile
+        if rs_env % 8 or n1 % rs_env:
+            raise ValueError(
+                f"FXTPU_FUSED_RS={rs_env} must be a multiple of 8 "
+                f"dividing n1={n1} (nbins={nbins})")
+        rs = rs_env
     if pretiled:
-        x_re = x_re.reshape(nch, rows_total * n1, n2)
-        x_im = x_im.reshape(nch, rows_total * n1, n2)
-        hist_stacked = hist_stacked.reshape(nch, 2, pad * n1, n2)
+        x_re = x_re.reshape(nch, rows_total * rs, nbins // rs)
+        x_im = x_im.reshape(nch, rows_total * rs, nbins // rs)
+        hist_stacked = hist_stacked.reshape(nch, 2, pad * rs, nbins // rs)
         # window pre-tiled per frame -> the FIR multiply needs no
         # broadcast relayout (one tiny device tile per traced call)
-        w_in = jnp.tile(w_in.reshape(ntaps, 1, n1, n2),
-                        (1, tile, 1, 1)).reshape(ntaps, tile * n1, n2)
+        w_in = jnp.tile(w_in.reshape(ntaps, 1, rs, nbins // rs),
+                        (1, tile, 1, 1)).reshape(ntaps, tile * rs,
+                                                 nbins // rs)
 
     slab_dtype = jnp.int32 if int8_in else jnp.float32
     # int8 mode: the slab holds PACKED words — 4x fewer lanes
-    nb_lanes = n2 if pretiled else (nbins // 4 if int8_in else nbins)
+    nb_lanes = (nbins // rs if pretiled
+                else (nbins // 4 if int8_in else nbins))
     # int8 mode never touches hist_s / hout: dummy-sized to keep the
     # kernel's positional ref plumbing uniform
     hist_shape = ((1, 1, 8, 128) if int8_in

@@ -1239,13 +1239,83 @@ def test_pretiled_knob_forces_legacy_layout(monkeypatch):
     from fxtpu.fx import _STEP_CACHE
     from fxtpu.ops import pfb_pallas
 
-    assert pfb_pallas._trace_env()[-1] is True  # default: pretiled on
+    assert pfb_pallas._trace_env()[7] is True  # default: pretiled on
     monkeypatch.setenv("FXTPU_FUSED_PRETILED", "0")
-    assert pfb_pallas._trace_env()[-1] is False
+    assert pfb_pallas._trace_env()[7] is False
     _STEP_CACHE.clear()
     pfb_pallas._fx_call.clear_cache()
     try:
         test_pretiled_layout_multi_tile_matches_unfused()
+    finally:
+        _STEP_CACHE.clear()
+        pfb_pallas._fx_call.clear_cache()
+
+
+def test_pretiled_rs_aspect_matches_unfused(monkeypatch):
+    """FXTPU_FUSED_RS picks an INTERMEDIATE pretile aspect: the slab
+    rows are [rs x nbins/rs] reinterprets (wider DMA rows than the full
+    pretile's [n1 x n2]) and the kernel pays the remaining n1/rs-way
+    lane->sublane split at the FFT-input reshape (design.md §8i: the
+    full pretile's 128-lane rows DMA at ~half the wide-slab rate).
+    nbins=2048 -> n1=16, so rs=8 is a genuine 2-way split; results must
+    match the unfused oracle across a streamed multi-block run."""
+    from jax import tree
+
+    from fxtpu.fx import _STEP_CACHE
+    from fxtpu.ops import pfb_pallas
+    from fxtpu.ops.pfb_pallas import _kernel_factor
+
+    n1, n2 = _kernel_factor(2048)
+    assert n1 == 16 and n2 == 128
+
+    monkeypatch.setenv("FXTPU_FUSED_RS", "8")
+    assert pfb_pallas._trace_env()[-1] == 8
+    _STEP_CACHE.clear()
+    pfb_pallas._fx_call.clear_cache()
+    try:
+        cfg = CorrelatorConfig(mode="SPECTRUM", num_samp=2**16,
+                               nbins=2048, ntaps=4, clamp_num_samp=False)
+        rng = np.random.default_rng(53)
+        k = 2
+        blocks = [(rng.normal(size=(2, cfg.num_samp))
+                   + 1j * rng.normal(size=(2, cfg.num_samp))
+                   ).astype(np.complex64) for _ in range(k)]
+        delays = jnp.tile(jnp.asarray([[0.0, 3.3e-7]], jnp.float32),
+                          (k, 1))
+        eng_u = FxEngine(cfg, fused=False)
+        eng_f = FxEngine(cfg, fused=True)
+        iq_u = tree.map(lambda *xs: jnp.stack(xs),
+                        *[eng_u.prepare_block(b) for b in blocks])
+        vu, hu = eng_u.multi_step(iq_u, delays, eng_u.fresh_history())
+        vf, hf = eng_f.multi_step(eng_f.prepare_batch(blocks),
+                                  delays, eng_f.fresh_history())
+        scale = np.abs(to_complex(vu)).max()
+        np.testing.assert_allclose(to_complex(vf), to_complex(vu),
+                                   atol=2e-5 * scale)
+        np.testing.assert_allclose(to_complex(hf), to_complex(hu),
+                                   atol=1e-6)
+    finally:
+        _STEP_CACHE.clear()
+        pfb_pallas._fx_call.clear_cache()
+
+
+def test_pretiled_rs_invalid_rejected(monkeypatch):
+    """A non-multiple-of-8 or non-divisor FXTPU_FUSED_RS fails loudly at
+    trace time instead of silently producing a scrambled layout."""
+    from fxtpu.fx import _STEP_CACHE
+    from fxtpu.ops import pfb_pallas
+
+    monkeypatch.setenv("FXTPU_FUSED_RS", "12")
+    _STEP_CACHE.clear()
+    pfb_pallas._fx_call.clear_cache()
+    try:
+        cfg = CorrelatorConfig(mode="SPECTRUM", num_samp=2**15,
+                               nbins=1024, ntaps=4, clamp_num_samp=False)
+        eng = FxEngine(cfg, fused=True)
+        b = np.zeros((2, cfg.num_samp), np.complex64)
+        with pytest.raises(ValueError, match="FXTPU_FUSED_RS"):
+            eng.step(eng.prepare_block(b),
+                     jnp.zeros((2,), jnp.float32), eng.fresh_history())
     finally:
         _STEP_CACHE.clear()
         pfb_pallas._fx_call.clear_cache()
