@@ -1107,10 +1107,13 @@ def _trace_env() -> tuple:
             svd,
             _os.environ.get("FXTPU_FUSED_LOCAL_HALO", "") == "1",
             _os.environ.get("FXTPU_FUSED_BANDED", "") == "1",
-            # pretiled slab layout (design.md §8i): default ON where it
-            # applies (direct-tap f32, n1 % 8 == 0); "0" forces the
-            # legacy [rows, nbins]-lane layout for A/Bs
-            _os.environ.get("FXTPU_FUSED_PRETILED", "") != "0",
+            # pretiled slab layout: default OFF — the same-session r5
+            # A/B measured the narrow-row slab DMA at ~half the wide
+            # rate and the step 21% slower at EVERY aspect (rs 8/16/n1),
+            # so the legacy [rows, nbins]-lane layout stays the
+            # production default; "1" forces pretiled for A/Bs
+            # (design.md §8i)
+            _os.environ.get("FXTPU_FUSED_PRETILED", "") == "1",
             # pretile ASPECT: rows per sample row (8 <= rs <= n1, rs | n1).
             # 0 = full pretile (rs = n1, lanes = n2).  Intermediate values
             # trade DMA row width against retile depth: the full pretile's

@@ -1177,19 +1177,16 @@ def test_fused_step_shape_sweep(nbins, ntaps, frames, nch):
                                    err_msg=f"block {i}")
 
 
-def test_pretiled_layout_multi_tile_matches_unfused():
-    """The PRETILED slab layout (direct-tap f32 with n1 % 8 == 0 —
-    design.md §8i) reinterprets every sample row as its n1 x n2 frame
-    tile so the kernel never pays the [tile, nbins] -> [tile, n1, n2]
-    lane->sublane retile.  Pure layout change: streamed multi-block
-    output and carried history must match the unfused path.  nbins=1024
-    (n1=8) with n_tiles > 1 exercises the scaled halo/tail bookkeeping
-    the incidental shape-sweep case (n_tiles=1) does not."""
+def _run_multi_tile_vs_unfused():
+    """Streamed 3-block multi-tile fused-vs-unfused comparison at
+    nbins=1024 (n1=8, n_tiles > 1) — exercises the halo/tail
+    bookkeeping under WHATEVER slab layout the env selects; callers
+    monkeypatch FXTPU_FUSED_PRETILED/_RS/_LOCAL_HALO around it."""
     from jax import tree
 
     from fxtpu.ops.pfb_pallas import _kernel_factor
     n1, n2 = _kernel_factor(1024)
-    assert n1 % 8 == 0 and n2 == 128  # the pretiled gate engages
+    assert n1 % 8 == 0 and n2 == 128  # the pretiled gate CAN engage
 
     cfg = CorrelatorConfig(mode="SPECTRUM", num_samp=2**15, nbins=1024,
                            ntaps=4, clamp_num_samp=False)
@@ -1212,6 +1209,38 @@ def test_pretiled_layout_multi_tile_matches_unfused():
     np.testing.assert_allclose(to_complex(hf), to_complex(hu), atol=1e-6)
 
 
+def test_legacy_layout_multi_tile_matches_unfused():
+    """The production DEFAULT (legacy [rows, nbins]-lane slab — the r5
+    same-session A/B measured the pretiled family 21% slower at every
+    aspect, design.md §8i) through the streamed multi-tile case."""
+    from fxtpu.ops import pfb_pallas
+
+    assert pfb_pallas._trace_env()[7] is False  # default: legacy (§8i)
+    _run_multi_tile_vs_unfused()
+
+
+def test_pretiled_layout_multi_tile_matches_unfused(monkeypatch):
+    """FXTPU_FUSED_PRETILED=1 reinterprets every sample row as its
+    n1 x n2 frame tile so the kernel never pays the [tile, nbins] ->
+    [tile, n1, n2] lane->sublane retile (kept as an A/B lever, §8i).
+    Pure layout change: streamed multi-block output and carried history
+    must match the unfused path, and _trace_env keys the caches so no
+    manual clearing is needed by library users (only the suite's
+    cross-test hygiene below)."""
+    from fxtpu.fx import _STEP_CACHE
+    from fxtpu.ops import pfb_pallas
+
+    monkeypatch.setenv("FXTPU_FUSED_PRETILED", "1")
+    assert pfb_pallas._trace_env()[7] is True
+    _STEP_CACHE.clear()
+    pfb_pallas._fx_call.clear_cache()
+    try:
+        _run_multi_tile_vs_unfused()
+    finally:
+        _STEP_CACHE.clear()
+        pfb_pallas._fx_call.clear_cache()
+
+
 def test_pretiled_local_halo_matches_unfused(monkeypatch):
     """Pretiled layout x FXTPU_FUSED_LOCAL_HALO: the tail-carry scratch
     rows scale by n1 too (the two features compose in the DMA front
@@ -1219,33 +1248,12 @@ def test_pretiled_local_halo_matches_unfused(monkeypatch):
     from fxtpu.fx import _STEP_CACHE
     from fxtpu.ops import pfb_pallas
 
+    monkeypatch.setenv("FXTPU_FUSED_PRETILED", "1")
     monkeypatch.setenv("FXTPU_FUSED_LOCAL_HALO", "1")
     _STEP_CACHE.clear()
     pfb_pallas._fx_call.clear_cache()
     try:
-        test_pretiled_layout_multi_tile_matches_unfused()
-    finally:
-        _STEP_CACHE.clear()
-        pfb_pallas._fx_call.clear_cache()
-
-
-def test_pretiled_knob_forces_legacy_layout(monkeypatch):
-    """FXTPU_FUSED_PRETILED=0 routes the same direct-tap f32 shape
-    through the LEGACY [rows, nbins]-lane slab layout (the A/B lever for
-    design.md §8i) and the numbers still match the unfused oracle —
-    i.e. the knob really flips the layout without changing results, and
-    _trace_env keys the caches so no manual clearing is needed by
-    library users (only the suite's cross-test hygiene below)."""
-    from fxtpu.fx import _STEP_CACHE
-    from fxtpu.ops import pfb_pallas
-
-    assert pfb_pallas._trace_env()[7] is True  # default: pretiled on
-    monkeypatch.setenv("FXTPU_FUSED_PRETILED", "0")
-    assert pfb_pallas._trace_env()[7] is False
-    _STEP_CACHE.clear()
-    pfb_pallas._fx_call.clear_cache()
-    try:
-        test_pretiled_layout_multi_tile_matches_unfused()
+        _run_multi_tile_vs_unfused()
     finally:
         _STEP_CACHE.clear()
         pfb_pallas._fx_call.clear_cache()
@@ -1268,6 +1276,7 @@ def test_pretiled_rs_aspect_matches_unfused(monkeypatch):
     n1, n2 = _kernel_factor(2048)
     assert n1 == 16 and n2 == 128
 
+    monkeypatch.setenv("FXTPU_FUSED_PRETILED", "1")
     monkeypatch.setenv("FXTPU_FUSED_RS", "8")
     assert pfb_pallas._trace_env()[-1] == 8
     _STEP_CACHE.clear()
@@ -1305,6 +1314,7 @@ def test_pretiled_rs_invalid_rejected(monkeypatch):
     from fxtpu.fx import _STEP_CACHE
     from fxtpu.ops import pfb_pallas
 
+    monkeypatch.setenv("FXTPU_FUSED_PRETILED", "1")
     monkeypatch.setenv("FXTPU_FUSED_RS", "12")
     _STEP_CACHE.clear()
     pfb_pallas._fx_call.clear_cache()
