@@ -110,21 +110,35 @@ def make_fn(r):
 
 
 def main():
+    # SLOPE method: the tunnel's fixed launch+readback overhead (~25 ms,
+    # it swamped the first version of this probe — every r measured a
+    # flat ~30 GB/s) cancels in the time DIFFERENCE between a REPS=lo
+    # and a REPS=hi launch of the same kernel; the slope is the pure
+    # per-rep copy time.
+    global REPS
     dev = jax.devices()[0]
-    print(f"# device: {dev.device_kind}", flush=True)
+    print(f"# device: {dev.device_kind} (slope method)", flush=True)
+    lo, hi = 16, 256
     for r in (1, 2, 4, 8, 16, 32):
-        fn, x = make_fn(r)
-        fn(x).block_until_ready()          # compile + warm
-        best = float("inf")
-        for _ in range(6):
-            t0 = time.perf_counter()
-            float(jnp.sum(fn(x)))          # scalar readback = real sync
-            best = min(best, time.perf_counter() - t0)
-        bytes_moved = REPS * NT * 2 * ROWS * W * 4   # r-independent
+        times = {}
+        for reps in (lo, hi):
+            REPS = reps
+            fn, x = make_fn(r)
+            fn(x).block_until_ready()      # compile + warm
+            best = float("inf")
+            for _ in range(6):
+                t0 = time.perf_counter()
+                float(jnp.sum(fn(x)))      # scalar readback = real sync
+                best = min(best, time.perf_counter() - t0)
+            times[reps] = best
+        dt = times[hi] - times[lo]
+        bytes_per_rep = NT * 2 * ROWS * W * 4        # r-independent
         print(json.dumps({
             "r": r, "lanes": W // r, "row_bytes": W // r * 4,
-            "ms": round(best * 1e3, 3),
-            "gbps": round(bytes_moved / best / 1e9, 1)}), flush=True)
+            "ms_lo": round(times[lo] * 1e3, 3),
+            "ms_hi": round(times[hi] * 1e3, 3),
+            "gbps": round(bytes_per_rep * (hi - lo) / dt / 1e9, 1)
+            if dt > 0 else None}), flush=True)
 
 
 if __name__ == "__main__":
