@@ -1043,6 +1043,20 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
             qr, qi = spec[q]
             acc_re = jnp.sum((pr * qr + pi * qi).reshape(tile, n1, n2),
                              axis=0)                      # [n1, n2]
+            if p == q:
+                # auto-correlation: the imaginary part is identically
+                # zero (pi*qr - pr*qi with q == p) — skip its products
+                # and accumulates (8 of 36 pairs at nchan8; the X stage
+                # is 11.4 of 58 ps/sample there, §8j)
+                @pl.when(t == 0)
+                def _(ib=ib, acc_re=acc_re):
+                    out_ref[0, ib, 0] = acc_re
+                    out_ref[0, ib, 1] = jnp.zeros((n1, n2), jnp.float32)
+
+                @pl.when(t != 0)
+                def _(ib=ib, acc_re=acc_re):
+                    out_ref[0, ib, 0] += acc_re
+                continue
             acc_im = jnp.sum((pi * qr - pr * qi).reshape(tile, n1, n2),
                              axis=0)
 
