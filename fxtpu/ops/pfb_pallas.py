@@ -338,9 +338,22 @@ SVD_FIR_MIN_TAPS = 16
 #: keeps full rank).
 _SVD_TOL = 1e-5
 
+#: Precision-tier threshold for the per-rank conv pass count
+#: (FXTPU_SVD_TIER, default on).  The banded conv's cost is
+#: rows x passes, and each rank's 3-pass split corrects bf16 rounding
+#: of a term whose magnitude is sigma_k — so a TAIL rank with
+#: sigma_k/sigma_1 < 2e-3 can run a SINGLE bf16 dot while its rounding
+#: contribution (~sigma_k/sigma_1 * 2^-8 ~= 8e-6 at the threshold)
+#: stays under the pipeline's 3.1e-5 precision floor.  At the
+#: production wideband window (32 taps, rank 6: ratios 1, 0.52, 0.108,
+#: 1.7e-2, 1.3e-3, 1.4e-4) this keeps ranks 1-4 at 3-pass and drops
+#: ranks 5-6 to 1-pass: conv row-passes 144 -> 112 f32, 96 -> 80 int8.
+_SVD_TIER_THRESH = 2e-3
+
 
 def _svd_fir_factors(w_key, nbins: int, tol: float = _SVD_TOL):
-    """(u [ntaps, r], v [r, nbins]) f64 with u @ v ~= w to ``tol``, or
+    """(u [ntaps, r], v [r, nbins], ratios [r]) f64 with u @ v ~= w to
+    ``tol`` (ratios = sigma_k/sigma_1, for the precision tiering), or
     None when the factorization wouldn't beat the direct loop.
 
     The default tol (see _SVD_TOL) keeps the window perturbation below
@@ -371,7 +384,7 @@ def _svd_fir_factors_cached(w_key, nbins: int, tol: float, force: bool):
     if r >= ntaps and not force:
         return None  # full rank: nothing to gain
     r = min(r, ntaps)
-    return uu[:, :r] * ss[:r], vt[:r]
+    return uu[:, :r] * ss[:r], vt[:r], tuple((ss[:r] / ss[0]).tolist())
 
 
 def _stage1_group(n1: int, tile: int) -> int:
@@ -458,7 +471,8 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                *rest,
                tile: int, ntaps: int, n1: int, n2: int,
                n_tiles: int, nch: int, k_blocks: int, pairs,
-               svd_r: int = 0, g1: int = 1, int8_in: bool = False,
+               svd_r: int = 0, svd_lead: int = 0, g1: int = 1,
+               int8_in: bool = False,
                nbuf: int = 2, split_dma: bool = False,
                static_slot: bool = False, one_pass: bool = False,
                xtra: int = 0, local_halo: bool = False, rs: int = 1):
@@ -802,6 +816,17 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                 sub = _SVD_SUB
                 win = pad + sub
 
+                # Precision-tiered split passes (FXTPU_SVD_TIER): only
+                # the leading svd_lead ranks' rows get the correction
+                # dots — bl_ref holds ONLY those rows, and the x-lo pass
+                # contracts bh[:ls].  Tail ranks run the single bf16
+                # dot: their sigma_k/sigma_1 < _SVD_TIER_THRESH puts the
+                # dropped corrections (~ratio * 2^-8) under the 3.1e-5
+                # pipeline floor.  ls is a multiple of sub=8, so both
+                # the static row slices and the concat stay
+                # sublane-aligned.
+                ls = svd_lead * sub
+
                 def conv_chunk(plane, c0):
                     if int8_in:
                         # int8 samples are bf16-EXACT: no data split — 2
@@ -809,15 +834,24 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                         hi = plane[c0:c0 + win]
                         if one_pass:
                             return jnp.dot(bh_ref[:], hi, **kw3)
-                        return (jnp.dot(bh_ref[:], hi, **kw3)
-                                + jnp.dot(bl_ref[:], hi, **kw3))
+                        full = jnp.dot(bh_ref[:], hi, **kw3)
+                        corr = jnp.dot(bl_ref[:], hi, **kw3)
+                        if svd_lead < svd_r:
+                            return jnp.concatenate(
+                                [full[:ls] + corr, full[ls:]], axis=0)
+                        return full + corr
                     if one_pass:
                         return jnp.dot(
                             bh_ref[:],
                             plane[c0:c0 + win].astype(jnp.bfloat16), **kw3)
                     hi, lo = _split_bf16(plane[c0:c0 + win])
-                    return (jnp.dot(bh_ref[:], hi, **kw3)
-                            + jnp.dot(bl_ref[:], hi, **kw3)
+                    full = jnp.dot(bh_ref[:], hi, **kw3)
+                    if svd_lead < svd_r:
+                        corr = (jnp.dot(bl_ref[:], hi, **kw3)
+                                + jnp.dot(bh_ref[:ls], lo, **kw3))
+                        return jnp.concatenate(
+                            [full[:ls] + corr, full[ls:]], axis=0)
+                    return (full + jnp.dot(bl_ref[:], hi, **kw3)
                             + jnp.dot(bh_ref[:], lo, **kw3))  # [r*sub, nbins]
 
                 def fir_chunks(plane):
@@ -1134,7 +1168,12 @@ def _trace_env() -> tuple:
             # 128-lane rows DMA at ~half the wide-slab rate (§8i), while
             # rs = 8 keeps 512-lane rows and pays only an n1/8-way
             # lane->sublane split before the FFT stages
-            int(_os.environ.get("FXTPU_FUSED_RS", "0") or 0))
+            int(_os.environ.get("FXTPU_FUSED_RS", "0") or 0),
+            # precision-tiered SVD conv (default ON): tail ranks with
+            # sigma_k/sigma_1 < _SVD_TIER_THRESH run 1-pass bf16 dots
+            # (their rounding rides under the 3.1e-5 pipeline floor);
+            # "0" keeps every rank at the full split-pass count
+            _os.environ.get("FXTPU_SVD_TIER", "1") != "0")
 
 
 def svd_tol_active(int8: bool) -> float:
@@ -1219,7 +1258,8 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
     # _trace_env — a bare env read here would let the module-level jit
     # cache serve a stale executable after an env flip, r2 review).
     (nbuf, split_dma, static_slot, prec, svd_tol,
-     local_halo, _banded, pretiled_ok, rs_env) = env_key or _trace_env()
+     local_halo, _banded, pretiled_ok, rs_env,
+     svd_tier) = env_key or _trace_env()
 
     # Deep-tap FIR: rank factorization -> banded-matmul inputs (see the
     # SVD-FIR block comment).  w_key is the static window fingerprint.
@@ -1234,12 +1274,22 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
            if w_key is not None else None)
     g1 = _stage1_group(n1, tile)
     svd_r = 0
+    svd_lead = 0
     svd_inputs = []
     if fac is not None:
-        u, v = fac
+        u, v, ratios = fac
         svd_r = u.shape[1]
+        # Precision tier (FXTPU_SVD_TIER, default on): the LEADING
+        # svd_lead ranks keep the full split-pass count; the tail runs
+        # 1-pass bf16 (see _SVD_TIER_THRESH).  The band rows are stacked
+        # rank-major, so the tier is a static row split of the same
+        # matmul: bl shrinks to the leading rows and the x-lo pass
+        # (f32 mode) contracts bh[:lead*sub] only.
+        svd_lead = (max(1, sum(1 for s in ratios if s >= _SVD_TIER_THRESH))
+                    if svd_tier else svd_r)
         band = _svd_fir_band(u, pad, ntaps)
         bh, bl = split_np(band)
+        bl = bl[: svd_lead * _SVD_SUB]
         # int8-native: the dequant scale folds into the v-combine, so the
         # kernel's spectra leave in REAL units with zero extra work
         v_eff = v * quant_step if int8_in else v
@@ -1313,6 +1363,7 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
         functools.partial(_fx_kernel, tile=tile, ntaps=ntaps,
                           n1=n1, n2=n2, n_tiles=s_rows // tile, nch=nch,
                           k_blocks=k_blocks, pairs=pairs_t, svd_r=svd_r,
+                          svd_lead=svd_lead,
                           g1=g1, int8_in=int8_in, nbuf=nbuf,
                           split_dma=split_dma, static_slot=static_slot,
                           one_pass=one_pass, xtra=xtra,

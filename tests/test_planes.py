@@ -446,13 +446,15 @@ class TestSvdFir:
         w_key = tuple(w.astype(np.float64).ravel())
         fac = _svd_fir_factors(w_key, 512)
         assert fac is not None
-        u, v = fac
+        u, v, ratios = fac
         assert u.shape[1] <= 8   # smooth windowed-sinc collapses (rank 6
         #                          at the 1e-5 default, r4)
+        assert ratios[0] == 1.0 and all(
+            a >= b for a, b in zip(ratios, ratios[1:]))
         err = np.abs(u @ v - w).max() / np.abs(w).max()
         assert err < 1.2e-5      # under the pipeline's 3.1e-5 floor
         # the strict 1e-7 tier reconstructs two decades tighter
-        u7, v7 = _svd_fir_factors(w_key, 512, tol=1e-7)
+        u7, v7, _ = _svd_fir_factors(w_key, 512, tol=1e-7)
         assert u7.shape[1] > u.shape[1]
         assert np.abs(u7 @ v7 - w).max() / np.abs(w).max() < 1e-6
         # shallow-tap windows stay on the exact direct loop
@@ -722,6 +724,61 @@ def test_svd_tol_env_knob_rank_and_parity(monkeypatch):
     scale = np.abs(to_complex(vu)).max()
     np.testing.assert_allclose(to_complex(vf), to_complex(vu),
                                atol=5e-5 * scale)
+
+
+def test_svd_tier_env_knob_lead_and_parity(monkeypatch):
+    """FXTPU_SVD_TIER (default ON) drops the deep-tap conv's TAIL ranks
+    (sigma_k/sigma_1 < 2e-3) to single bf16 dots — conv row-passes
+    144 -> 112 at the production wideband window — while the dropped
+    correction terms stay under the 3.1e-5 pipeline floor.  Asserts the
+    static tier split, that the knob BINDS through the step caches
+    (tier on/off outputs differ, i.e. no stale executable), and that
+    both match the HIGH unfused oracle within the floor."""
+    from fxtpu.fx import _STEP_CACHE
+    from fxtpu.ops import pfb_pallas
+    from fxtpu.ops.pfb_pallas import (_SVD_TIER_THRESH, _svd_fir_factors)
+    from fxtpu.ops.window import pfb_window
+
+    w = pfb_window(32, 256, "hamming").reshape(32, 256)
+    w_key = tuple(w.astype(np.float64).ravel())
+    _, _, ratios = _svd_fir_factors(w_key, 256)
+    lead = sum(1 for s in ratios if s >= _SVD_TIER_THRESH)
+    assert 1 <= lead < len(ratios)  # the tier buys real tail passes
+
+    cfg = CorrelatorConfig(mode="SPECTRUM", num_samp=2**13, nbins=256,
+                           ntaps=32, clamp_num_samp=False)
+    rng = np.random.default_rng(13)
+    x = (rng.normal(size=(2, cfg.num_samp))
+         + 1j * rng.normal(size=(2, cfg.num_samp))).astype(np.complex64)
+    delays = jnp.asarray([0.0, 4e-7], jnp.float32)
+
+    def run_fused():
+        _STEP_CACHE.clear()
+        pfb_pallas._fx_call.clear_cache()
+        eng = FxEngine(cfg, fused=True)
+        v, _ = eng.step(eng.prepare_block(x), delays, eng.fresh_history())
+        return to_complex(v)
+
+    try:
+        assert pfb_pallas._trace_env()[9] is True   # tier defaults ON
+        v_tier = run_fused()
+        monkeypatch.setenv("FXTPU_SVD_TIER", "0")
+        assert pfb_pallas._trace_env()[9] is False
+        v_full = run_fused()
+    finally:
+        monkeypatch.delenv("FXTPU_SVD_TIER", raising=False)
+        _STEP_CACHE.clear()
+        pfb_pallas._fx_call.clear_cache()
+
+    eng_u = FxEngine(cfg, fused=False)
+    vu = to_complex(eng_u.step(eng_u.prepare_block(x), delays,
+                               eng_u.fresh_history())[0])
+    scale = np.abs(vu).max()
+    diff = np.abs(v_tier - v_full).max()
+    assert diff > 0                    # the knob binds (fresh executable)
+    assert diff < 3.1e-5 * scale       # tier error under the floor
+    np.testing.assert_allclose(v_tier, vu, atol=5e-5 * scale)
+    np.testing.assert_allclose(v_full, vu, atol=5e-5 * scale)
 
 
 @pytest.mark.parametrize("stage,int8", [("dma", False), ("fir", False),
@@ -1278,7 +1335,7 @@ def test_pretiled_rs_aspect_matches_unfused(monkeypatch):
 
     monkeypatch.setenv("FXTPU_FUSED_PRETILED", "1")
     monkeypatch.setenv("FXTPU_FUSED_RS", "8")
-    assert pfb_pallas._trace_env()[-1] == 8
+    assert pfb_pallas._trace_env()[8] == 8  # FXTPU_FUSED_RS slot
     _STEP_CACHE.clear()
     pfb_pallas._fx_call.clear_cache()
     try:
