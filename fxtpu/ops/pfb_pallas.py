@@ -472,7 +472,7 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
                tile: int, ntaps: int, n1: int, n2: int,
                n_tiles: int, nch: int, k_blocks: int, pairs,
                svd_r: int = 0, svd_lead: int = 0, g1: int = 1,
-               int8_in: bool = False,
+               int8_in: bool = False, retile_stack: bool = False,
                nbuf: int = 2, split_dma: bool = False,
                static_slot: bool = False, one_pass: bool = False,
                xtra: int = 0, local_halo: bool = False, rs: int = 1):
@@ -914,20 +914,33 @@ def _fx_kernel(xre_ref, xim_ref, hist_ref, w_ref, m1h_ref,
             # (FXTPU_FUSED_RS): an n1/rs-way split, proportionally
             # cheaper than the legacy n1-way; rs == 1 pays the full
             # retile here exactly as before.
-            f2r = fir_re.reshape(tile * n1, n2)
-            f2i = fir_im.reshape(tile * n1, n2)
+            #
+            # retile_stack (FXTPU_FUSED_RETILE=stack, rs == 1 only):
+            # the SAME dataflow under a different lowering — lane-slice
+            # stack to j1-major [n1, tile, n2] (whole (8,128) tiles
+            # move, no stride-n1 sublane scatter), stage 1 reading
+            # per-frame [:, f, :] strided slices.
+            if retile_stack:
+                sre = jnp.stack(
+                    [fir_re[:, j * n2:(j + 1) * n2] for j in range(n1)],
+                    axis=0)                  # [n1, tile, n2] j1-major
+                sim = jnp.stack(
+                    [fir_im[:, j * n2:(j + 1) * n2] for j in range(n1)],
+                    axis=0)
+                frame = lambda f: (sre[:, f], sim[:, f])
+            else:
+                f2r = fir_re.reshape(tile * n1, n2)
+                f2i = fir_im.reshape(tile * n1, n2)
+                frame = lambda f: (f2r[f * n1:(f + 1) * n1],
+                                   f2i[f * n1:(f + 1) * n1])
             brs, bis = [], []
             for base in range(0, tile, g1):
                 if g1 == 1:
-                    x2 = jnp.concatenate(
-                        [f2r[base * n1:(base + 1) * n1],
-                         f2i[base * n1:(base + 1) * n1]], axis=0)
+                    x2 = jnp.concatenate(frame(base), axis=0)
                 else:
                     x2 = jnp.concatenate(
-                        [jnp.concatenate(
-                            [f2r[(base + fg) * n1:(base + fg + 1) * n1],
-                             f2i[(base + fg) * n1:(base + fg + 1) * n1]],
-                            axis=0) for fg in range(g1)],
+                        [jnp.concatenate(frame(base + fg), axis=0)
+                         for fg in range(g1)],
                         axis=1)                       # [2n1, g1*n2]
                 if one_pass:
                     a = jnp.dot(m1h_ref[:], x2.astype(jnp.bfloat16), **kw)
@@ -1173,7 +1186,15 @@ def _trace_env() -> tuple:
             # sigma_k/sigma_1 < _SVD_TIER_THRESH run 1-pass bf16 dots
             # (their rounding rides under the 3.1e-5 pipeline floor);
             # "0" keeps every rank at the full split-pass count
-            _os.environ.get("FXTPU_SVD_TIER", "1") != "0")
+            _os.environ.get("FXTPU_SVD_TIER", "1") != "0",
+            # retile lowering A/B (legacy rs==1 layout only):
+            # "stack" replaces the [tile, nbins] -> [tile*n1, n2]
+            # reshape (a stride-n1 sublane scatter) with a lane-slice
+            # stack to j1-major [n1, tile, n2] (a pure (8,128)-tile
+            # permutation) consumed by strided per-frame slices —
+            # same dataflow, different Mosaic lowering (scripts/
+            # retile_probe.py measures the isolated difference)
+            _os.environ.get("FXTPU_FUSED_RETILE", ""))
 
 
 def svd_tol_active(int8: bool) -> float:
@@ -1259,7 +1280,7 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
     # cache serve a stale executable after an env flip, r2 review).
     (nbuf, split_dma, static_slot, prec, svd_tol,
      local_halo, _banded, pretiled_ok, rs_env,
-     svd_tier) = env_key or _trace_env()
+     svd_tier, retile_form) = env_key or _trace_env()
 
     # Deep-tap FIR: rank factorization -> banded-matmul inputs (see the
     # SVD-FIR block comment).  w_key is the static window fingerprint.
@@ -1364,7 +1385,9 @@ def _fx_call(x_re, x_im, hist_stacked, w2d, nbins: int, tile: int,
                           n1=n1, n2=n2, n_tiles=s_rows // tile, nch=nch,
                           k_blocks=k_blocks, pairs=pairs_t, svd_r=svd_r,
                           svd_lead=svd_lead,
-                          g1=g1, int8_in=int8_in, nbuf=nbuf,
+                          g1=g1, int8_in=int8_in,
+                          retile_stack=(retile_form == "stack" and rs == 1),
+                          nbuf=nbuf,
                           split_dma=split_dma, static_slot=static_slot,
                           one_pass=one_pass, xtra=xtra,
                           local_halo=local_halo, rs=rs),

@@ -1276,6 +1276,27 @@ def test_legacy_layout_multi_tile_matches_unfused():
     _run_multi_tile_vs_unfused()
 
 
+def test_retile_stack_multi_tile_matches_unfused(monkeypatch):
+    """FXTPU_FUSED_RETILE=stack swaps the kernel's lane->sublane retile
+    lowering (stride-n1 sublane-scatter reshape -> (8,128)-tile
+    permutation stack + strided per-frame slices) without changing the
+    dataflow: the same values reach the same dots, so the streamed
+    multi-tile output must match the unfused oracle exactly as the
+    default lowering does."""
+    from fxtpu.fx import _STEP_CACHE
+    from fxtpu.ops import pfb_pallas
+
+    monkeypatch.setenv("FXTPU_FUSED_RETILE", "stack")
+    assert pfb_pallas._trace_env()[10] == "stack"
+    _STEP_CACHE.clear()
+    pfb_pallas._fx_call.clear_cache()
+    try:
+        _run_multi_tile_vs_unfused()
+    finally:
+        _STEP_CACHE.clear()
+        pfb_pallas._fx_call.clear_cache()
+
+
 def test_pretiled_layout_multi_tile_matches_unfused(monkeypatch):
     """FXTPU_FUSED_PRETILED=1 reinterprets every sample row as its
     n1 x n2 frame tile so the kernel never pays the [tile, nbins] ->
